@@ -1,0 +1,141 @@
+package graft.core
+
+/** Core data model of the crawl engine.
+  *
+  * Reference analogs (HadleyLab/MedCrawler, /root/reference):
+  *  - the frontier stream of item IDs: `search()` async generator,
+  *    medcrawler/base.py:343-353
+  *  - the seen set: `old_item_ids: Set[str]`, medcrawler/base.py:348
+  *  - fetched records: `extract_metadata` dicts, medcrawler/pubmed.py:245-259
+  *  - politeness/retry budgets: `CrawlerConfig`, medcrawler/config.py:34-45
+  *
+  * All tables are typed Datasets of these case classes (product encoders,
+  * no Kryo), so every scheduling round stays inside Catalyst.
+  */
+
+/** One pending URL in the crawl frontier.
+  *
+  * @param url            raw URL as discovered
+  * @param canonUrl       RFC-3986 canonical form (see [[Canon]])
+  * @param urlHash        xxhash64(canonUrl), the identity key of the URL
+  * @param host           lowercased host component
+  * @param hostBucket     pmod(xxhash64(host), numBuckets) — partition key for
+  *                       the seen shards / frontier state
+  * @param depth          hops from the seed
+  * @param priority       OPIC-style cash score (depth-penalized, see
+  *                       [[graft.engine.Scheduler]])
+  * @param seedId         originating seed
+  * @param path           seed→URL lineage (page URLs, in order)
+  * @param attempt        retry attempt counter (0 = first try);
+  *                       ref max_retries=5, medcrawler/config.py:38
+  * @param notBeforeRound backoff deferral: do not schedule before this round;
+  *                       ref tenacity wait_chain, medcrawler/base.py:136-154
+  */
+case class FrontierEntry(
+    url: String,
+    canonUrl: String,
+    urlHash: Long,
+    host: String,
+    hostBucket: Int,
+    depth: Int,
+    priority: Double,
+    seedId: String,
+    path: Seq[String],
+    attempt: Int,
+    notBeforeRound: Int)
+
+/** One row of the URL-seen table (bucketed by hostBucket). */
+case class SeenEntry(urlHash: Long, hostBucket: Int)
+
+/** A fetched image+caption row — the `input_hint` schema from
+  * /root/repo/BASELINE.json (column names in snake_case on disk).
+  * `image_id` is the canonical URL.
+  */
+case class CrawledImage(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long)
+
+/** Extended fetched row carried inside the engine: payload + crawl lineage +
+  * discovery metadata needed to expand the frontier.
+  */
+case class FetchResult(
+    url: String,
+    canonUrl: String,
+    urlHash: Long,
+    host: String,
+    hostBucket: Int,
+    depth: Int,
+    priority: Double,
+    seedId: String,
+    path: Seq[String],
+    attempt: Int,
+    round: Int,
+    ok: Boolean,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long,
+    outlinks: Seq[String])
+
+/** Per-host politeness + robots dimension (broadcast-joined; tiny).
+  * Ref: per-API budgets in CrawlerConfig, medcrawler/config.py:70-82.
+  *
+  * @param minIntervalMs politeness interval between requests to this host
+  *                      (ref 340ms unkeyed PubMed / 100ms keyed + CT.gov)
+  * @param quotaPerRound max URLs fetched from this host per scheduling round
+  *                      = min(roundMs/minIntervalMs, hard batch cap);
+  *                      ref caps 3/5, medcrawler/pubmed.py:299,
+  *                      medcrawler/clinical_trials.py:242
+  * @param robotsDisallow path prefixes denied by robots.txt
+  */
+case class HostPolicy(
+    host: String,
+    minIntervalMs: Int,
+    quotaPerRound: Int,
+    robotsDisallow: Seq[String])
+
+/** Engine configuration. Mirrors CrawlerConfig defaults where an analog
+  * exists (medcrawler/config.py:34-45).
+  *
+  * @param maxResults   global fetch budget (ref max_results,
+  *                     medcrawler/base.py:343)
+  * @param maxRounds    hard stop on scheduling rounds
+  * @param maxRetries   drop a URL after this many failed attempts (ref 5)
+  * @param gamma        OPIC depth damping factor for child priority
+  * @param numBuckets   host-hash shard count for seen/frontier state
+  * @param roundMs      nominal wall-clock length of one scheduling round,
+  *                     used to derive per-host quotas from minIntervalMs
+  */
+case class CrawlConfig(
+    maxResults: Long = 1000L,
+    maxRounds: Int = 64,
+    maxRetries: Int = 5,
+    gamma: Double = 0.85,
+    numBuckets: Int = 16,
+    roundMs: Int = 1000)
+
+/** Per-(round, host) metrics row — the fetch/dedup/politeness-wait metrics
+  * table required by the north rule. Ref analog: batch success/failure tally,
+  * medcrawler/base.py:416-418.
+  */
+case class RoundMetrics(
+    round: Int,
+    host: String,
+    candidates: Long,
+    seenDropped: Long,
+    robotsBlocked: Long,
+    scheduled: Long,
+    fetchedOk: Long,
+    failed: Long,
+    deferred: Long,
+    politenessWaitMs: Long)
+
+/** A crawl seed: initial OPIC cash = 1.0 / numSeeds. */
+case class Seed(seedId: String, url: String, priority: Double)
