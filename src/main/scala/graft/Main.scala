@@ -1,0 +1,78 @@
+package graft
+
+import graft.core._
+import graft.engine.CrawlEngine
+import org.apache.spark.sql.SparkSession
+
+/** CLI crawl driver — the spark-submit entry point. Mirrors the reference
+  * demo CLI (argparse flags in /root/reference/medcrawler/demo.py:155-176):
+  * seeds in, budget, rounds; fetched images + metrics + lineage out.
+  *
+  * Usage:
+  *   runMain graft.Main --out /tmp/crawl [--hosts 20] [--pages 500]
+  *     [--seeds 4] [--max 1000] [--rounds 64] [--skew] [--resume]
+  *     [--cores 8] [--show]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args.toList, Map.empty)
+    val out = opts.getOrElse("out",
+      java.nio.file.Files.createTempDirectory("graft-crawl").toString)
+    val cores = opts.getOrElse("cores", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val spec = CorpusSpec(
+      numHosts = opts.getOrElse("hosts", "20").toInt,
+      pagesPerHost = opts.getOrElse("pages", "500").toInt,
+      skewHost0 = opts.contains("skew"))
+    val cfg = CrawlConfig(
+      maxResults = opts.getOrElse("max", "1000").toLong,
+      maxRounds = opts.getOrElse("rounds", "64").toInt)
+    val seeds = spec.defaultSeeds(opts.getOrElse("seeds", "4").toInt)
+
+    val t0 = System.nanoTime()
+    val res =
+      if (opts.contains("resume")) CrawlEngine.resume(spark, spec, cfg, out)
+      else CrawlEngine.run(spark, spec, seeds, cfg, out)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    println(f"crawl done: out=$out rounds=${res.rounds} " +
+      f"scheduled=${res.totalScheduled} fetched=${res.manifest.fetchedCount} " +
+      f"seen=${res.manifest.seenCount} frontierLeft=${res.manifest.frontierCount} " +
+      f"secs=$secs%.2f urlsPerSec=${res.totalScheduled / secs}%.1f")
+
+    if (opts.contains("show")) {
+      println("-- schedule (crawl order) --")
+      res.schedule(spark).show(10, truncate = false)
+      println("-- fetched --")
+      res.fetched(spark)
+        .select("image_id", "fmt", "w", "h", "phash", "seed_id", "depth")
+        .show(10, truncate = false)
+      println("-- metrics --")
+      res.metrics(spark).orderBy("round", "host").show(20)
+    }
+    spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case ("--skew" | "--resume" | "--show") :: rest =>
+        parse(rest, acc + (args.head.stripPrefix("--") -> "true"))
+      case k :: v :: rest if k.startsWith("--") =>
+        parse(rest, acc + (k.stripPrefix("--") -> v))
+      case other :: _ =>
+        sys.error(s"unrecognized argument: $other (flags: --out --hosts " +
+          "--pages --seeds --max --rounds --cores --skew --resume --show)")
+    }
+}

@@ -56,7 +56,10 @@ case class CorpusSpec(
     val rng = new SplittableRandom(SynthCorpus.mix(seed, Canon.xxhash64("policy:" + hostName(i))))
     val fast = rng.nextInt(2) == 0
     val (interval, cap) = if (fast) (100, 5) else (340, 3)
-    HostPolicy(hostName(i), interval, cap, Seq("/private"))
+    // token-bucket quota per nominal 1000 ms round: floor(round/interval),
+    // capped by the reference's hard batch cap (3 or 5)
+    val quota = math.min(1000 / interval, cap)
+    HostPolicy(hostName(i), interval, quota, Seq("/private"))
   }
 
   /** Default seed list: one seed per ~5 hosts, equal initial OPIC cash. */

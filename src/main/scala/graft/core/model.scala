@@ -112,6 +112,12 @@ case class HostPolicy(
   * @param numBuckets   host-hash shard count for seen/frontier state
   * @param roundMs      nominal wall-clock length of one scheduling round,
   *                     used to derive per-host quotas from minIntervalMs
+  * @param bloomExpectedItems per-round expected items for the per-bucket
+  *                     Bloom prefilter (0 = auto-size from the round);
+  *                     deliberately undersizing it raises the false-positive
+  *                     rate — correctness must NOT depend on it (the exact
+  *                     anti-join is authoritative; tested adversarially)
+  * @param bloomFpp     target false-positive probability for the Bloom
   */
 case class CrawlConfig(
     maxResults: Long = 1000L,
@@ -119,7 +125,9 @@ case class CrawlConfig(
     maxRetries: Int = 5,
     gamma: Double = 0.85,
     numBuckets: Int = 16,
-    roundMs: Int = 1000)
+    roundMs: Int = 1000,
+    bloomExpectedItems: Long = 0L,
+    bloomFpp: Double = 0.03)
 
 /** Per-(round, host) metrics row — the fetch/dedup/politeness-wait metrics
   * table required by the north rule. Ref analog: batch success/failure tally,

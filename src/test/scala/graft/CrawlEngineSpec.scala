@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core._
+import graft.engine.CrawlEngine
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The correctness gate of the north rule: the Spark engine must reproduce
+  * the single-threaded [[RefOracle]] EXACTLY — crawl order, URL-seen set,
+  * and fetched payloads (byte-equal here since fetcher and oracle share the
+  * deterministic corpus; PSNR/caption invariants are asserted in
+  * SynthCorpusSpec). Ref analog: exclusion/duplication assertions in
+  * /root/reference/tests/integration/test_pubmed.py:27-34,120-141.
+  */
+class CrawlEngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("crawl-engine-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("crawl-spec").toString
+
+  private def engineOrder(res: CrawlEngine.CrawlResult): Vector[(Int, String)] =
+    res.schedule(spark).select("round", "canonUrl").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+
+  private def engineSeen(res: CrawlEngine.CrawlResult): Set[Long] =
+    res.seen(spark).select("urlHash").collect().map(_.getLong(0)).toSet
+
+  test("engine ≡ oracle: crawl order, seen set, fetched payloads") {
+    val spec = CorpusSpec(numHosts = 6, pagesPerHost = 40)
+    val cfg = CrawlConfig(maxResults = 150, maxRounds = 30)
+    val seeds = spec.defaultSeeds(3)
+
+    val oracle = RefOracle.crawl(spec, seeds, cfg)
+    val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+
+    assert(engineOrder(res) == oracle.order, "crawl order mismatch")
+    assert(engineSeen(res) == oracle.seen, "seen set mismatch")
+
+    // fetched payloads: byte-identical rows per image_id
+    val engFetched = res.fetched(spark)
+      .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Array[Byte]](1).toSeq,
+        r.getInt(2), r.getInt(3), r.getString(4), r.getString(5), r.getLong(6))))
+      .toMap
+    val oraFetched = oracle.fetched
+      .map(i => i.image_id -> ((i.bytes.toSeq, i.w, i.h, i.fmt, i.caption, i.phash)))
+      .toMap
+    assert(engFetched.keySet == oraFetched.keySet, "fetched URL set mismatch")
+    engFetched.foreach { case (k, v) => assert(v == oraFetched(k), s"payload mismatch at $k") }
+
+    // lineage: seedId + path match the oracle's
+    val engLineage = res.fetched(spark)
+      .select("image_id", "seed_id", "path").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getSeq[String](2))))
+      .toMap
+    oracle.lineage.foreach { case (url, (seed, path)) =>
+      assert(engLineage(url) == ((seed, path)), s"lineage mismatch at $url")
+    }
+
+    // metrics parity on the load-bearing counters
+    val engM = res.metrics(spark)
+      .select("round", "host", "scheduled", "fetchedOk", "robotsBlocked")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    oracle.metrics.foreach { mr =>
+      val got = engM.getOrElse((mr.round, mr.host), (0L, 0L, 0L))
+      assert(got == ((mr.scheduled, mr.fetchedOk, mr.robotsBlocked)),
+        s"metrics mismatch at round=${mr.round} host=${mr.host}: got $got " +
+          s"want ${(mr.scheduled, mr.fetchedOk, mr.robotsBlocked)}")
+    }
+  }
+
+  test("adversarially small Bloom (high fpp) does not change results") {
+    val spec = CorpusSpec(numHosts = 5, pagesPerHost = 30)
+    // expectedItems=8 → heavily saturated filter, fpp → ~1: every candidate
+    // funnels through the exact anti-join; results must be identical
+    val cfg = CrawlConfig(maxResults = 100, maxRounds = 20,
+      bloomExpectedItems = 8L, bloomFpp = 0.5)
+    val seeds = spec.defaultSeeds(2)
+    val oracle = RefOracle.crawl(spec, seeds, cfg)
+    val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+    assert(engineOrder(res) == oracle.order)
+    assert(engineSeen(res) == oracle.seen)
+  }
+
+  test("resume from snapshot ≡ uninterrupted run") {
+    val spec = CorpusSpec(numHosts = 5, pagesPerHost = 30)
+    val seeds = spec.defaultSeeds(2)
+    val full = CrawlConfig(maxResults = 120, maxRounds = 24)
+
+    val dirA = tmpDir()
+    val resA = CrawlEngine.run(spark, spec, seeds, full, dirA)
+
+    // interrupted: stop after 4 rounds, then resume with the full budget
+    val dirB = tmpDir()
+    CrawlEngine.run(spark, spec, seeds, full.copy(maxRounds = 4), dirB)
+    val resB = CrawlEngine.resume(spark, spec, full, dirB)
+
+    assert(engineOrder(resB) == engineOrder(resA), "resume changed crawl order")
+    assert(engineSeen(resB) == engineSeen(resA), "resume changed seen set")
+    assert(resB.manifest.totalScheduled == resA.manifest.totalScheduled)
+  }
+
+  test("skewed corpus (host-0 has 9× pages) still matches oracle") {
+    val spec = CorpusSpec(numHosts = 4, pagesPerHost = 30, skewHost0 = true)
+    val cfg = CrawlConfig(maxResults = 80, maxRounds = 16)
+    val seeds = spec.defaultSeeds(2)
+    val oracle = RefOracle.crawl(spec, seeds, cfg)
+    val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+    assert(engineOrder(res) == oracle.order)
+    assert(engineSeen(res) == oracle.seen)
+  }
+}
