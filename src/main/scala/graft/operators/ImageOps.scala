@@ -1,0 +1,117 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import graft.core.{CorpusSpec, CrawlConfig, SynthCorpus}
+import graft.engine.CrawlEngine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary-column) operators over image payloads.
+  *
+  * Images are opaque `binary` columns with typed metadata (the input_hint
+  * schema: image_id, bytes, w, h, fmt, caption, phash). Decode and
+  * perceptual hashing are REAL (JDK ImageIO — PNG/JPEG decode needs no
+  * external libs); heavyweight transforms (resize, model feature-extract)
+  * are deterministic STUBS with real Spark plumbing (schema, partitioning,
+  * batched mapPartitions shape), clearly marked below.
+  *
+  * Scale notes: payload `bytes` are only touched inside per-partition batch
+  * UDFs; every join/group in here runs on 8-byte hashes or ids. The phash
+  * near-dup join uses pigeonhole chunk bucketing (hamming ≤ 3 over 64 bits
+  * split into 4×16-bit chunks ⇒ some chunk matches exactly), turning a
+  * quadratic similarity search into an equi-join + cheap verify — the same
+  * candidate/verify split as MinHash LSH.
+  */
+object ImageOps {
+
+  /** Real decode: binary → (w, h, ok). */
+  val decodeDims = udf { (bytes: Array[Byte]) =>
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) (0, 0, false) else (img.getWidth, img.getHeight, true)
+    } catch { case _: Exception => (0, 0, false) }
+  }
+
+  /** Real perceptual hash of decoded pixels (64-bit aHash). */
+  val phashOfBytes = udf { (bytes: Array[Byte]) =>
+    try SynthCorpus.phash64(bytes)
+    catch { case _: Exception => 0L }
+  }
+
+  /** STUB: resize/feature-extract placeholder. The real operation would
+    * decode + resample pixels (image codec work, same plumbing); the stub
+    * returns a deterministic digest of (bytes, target size) so tests can
+    * verify the batched execution path end-to-end without a native codec.
+    */
+  val resizeStub = udf { (bytes: Array[Byte], tw: Int, th: Int) =>
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes)
+    crc.update(tw); crc.update(th)
+    s"resized:${tw}x$th:${java.lang.Long.toHexString(crc.getValue)}"
+  }
+
+  /** Near-duplicate image pairs by phash hamming distance ≤ maxDist (≤ 3 for
+    * the 4-chunk pigeonhole to be lossless). Input: any DataFrame with
+    * (idCol: string/long, phashCol: long).
+    */
+  def phashNearDup(
+      df: DataFrame,
+      idCol: String,
+      phashCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole covers hamming <= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunks = df.select(col(idCol).as("id"), col(phashCol).as("ph"))
+      .select($"id", $"ph", explode(expr(
+        "transform(sequence(0, 3), c -> struct(c as c, shiftright(ph, c * 16) & 65535 as v))"))
+        .as("ck"))
+      .select($"id", $"ph", $"ck.c".as("c"), $"ck.v".as("v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("img_a"), col("y.id").as("img_b"),
+        col("x.ph").as("pa"), col("y.ph").as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(pa ^ pb)"))
+      .where($"hamming" <= maxDist)
+      .select($"img_a", $"img_b", $"hamming")
+      .orderBy($"img_a", $"img_b")
+  }
+
+  /** End-to-end crawl smoke query for the driver's rows-only gate: run a
+    * small deterministic crawl, then validate every fetched binary payload
+    * by REAL decode (dims must match the typed metadata; recomputed phash
+    * must match the stored phash) and exercise the resize-stub plumbing.
+    * Output is independent of the temp directory and of parallelism (crawl
+    * determinism contract).
+    */
+  def crawlSmoke(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = CorpusSpec(numHosts = 5, pagesPerHost = 25)
+    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10)
+    val out = java.nio.file.Files.createTempDirectory("crawl-smoke").toString
+    val res = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, out)
+    res.fetched(spark)
+      .withColumn("dec", decodeDims($"bytes"))
+      .withColumn("phash2", phashOfBytes($"bytes"))
+      .select($"image_id", $"fmt", $"w", $"h", $"phash", $"seed_id", $"depth",
+        ($"dec._3" && $"dec._1" === $"w" && $"dec._2" === $"h").as("decode_ok"),
+        ($"phash2" === $"phash").as("phash_ok"),
+        resizeStub($"bytes", lit(8), lit(8)).as("thumb"))
+      .orderBy($"image_id")
+  }
+
+  /** Near-dup flagging over the same smoke crawl (north rule: "fetched rows
+    * land ... with phash-based near-duplicate flagging"). Rows-only gate.
+    */
+  def crawlPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val spec = CorpusSpec(numHosts = 5, pagesPerHost = 25)
+    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10)
+    val out = java.nio.file.Files.createTempDirectory("crawl-phash").toString
+    val res = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, out)
+    phashNearDup(res.fetched(spark), "image_id", "phash", maxDist = 3)
+  }
+}

@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text pipeline operators over the `documents`
+  * table: exact dedup, n-gram fingerprint dedup, MinHash+LSH near-dup,
+  * SimHash, token stats, quality scoring, language-ID heuristic, document
+  * fingerprinting. Every operator has a DuckDB-oracle twin built from the
+  * SAME hash primitives (md5 hex strings, lexicographic mins), so results
+  * are bit-comparable across engines.
+  *
+  * Scale notes: all of these are shuffle-once groupBy/join pipelines on
+  * key+small-signature columns. MinHash bands shuffle 32-byte digests, not
+  * documents; the candidate join is an equi-join on (band, bandHash) — the
+  * standard way to keep near-dup detection linear-ish at 100 TB.
+  */
+object TextOps {
+
+  private def docs(dir: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup via content hash: one row per distinct text, keeper =
+    * min(doc_id) (hash-groupBy; map-side combine; no full-text shuffle
+    * beyond the digest).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    docs(dir)
+      .groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy($"fp")
+  }
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Character-5-gram set fingerprint: docs whose shingle SETS are identical
+    * share a fingerprint (order-insensitive near-exact dedup).
+    */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    docs(dir)
+      .where(length($"text") >= 5)
+      .withColumn("fp", md5(array_join(array_sort(array_distinct(
+        expr("transform(sequence(0, length(text)-5), i -> substring(text, i+1, 5))"))),
+        "\u0001")))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy($"fp")
+  }
+
+  val dedupNgramSql: String =
+    """SELECT fp, min(doc_id) AS keeper, count(*) AS n_dups FROM (
+      | SELECT doc_id, md5(list_aggregate(list_sort(list_distinct(
+      |   [text[i:i+4] FOR i IN generate_series(1, length(text)-4)])), 'string_agg', chr(1))) AS fp
+      | FROM documents WHERE length(text) >= 5)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Word-3-gram shingle sets per doc (shared by minhash + verification). */
+  private def shingles(dir: String)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    docs(dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .where(size($"ws") >= 3)
+      .select($"doc_id", array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+        .as("sh"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs over word-3-gram shingles.
+    *
+    * Signature: 8 minhashes h_i = lexicographic min over shingles of
+    * md5("i|" + shingle) (a hex string is a perfectly good uniform hash with
+    * a total order, and it is engine-portable). 4 bands × 2 rows; candidate
+    * pairs share any band; candidates are verified with EXACT jaccard ≥ 0.8
+    * (LSH prunes candidates, the verify join is authoritative — same
+    * prefilter-vs-exact split as the crawl engine's Bloom + anti-join).
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val sh = shingles(dir)
+    val ex = sh.select($"doc_id", explode($"sh").as("s"))
+    val minCols = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i|"), $"s"))).as(s"h$i"))
+    val mh = ex.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}"))).as("bh")))
+    val bands = mh
+      .select($"doc_id", explode(array(bandCols: _*)).as("bd"))
+      .select($"doc_id", $"bd.band".as("band"), $"bd.bh".as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sa")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sb")), Seq("doc_b"))
+      .withColumn("jac", round(
+        size(array_intersect($"sa", $"sb")).cast("double") /
+          size(array_union($"sa", $"sb")), 6))
+      .where($"jac" >= 0.8)
+      .select($"doc_a", $"doc_b", $"jac")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupMinhashLshSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+      |   FOR i IN generate_series(1, len(ws)-2)]) AS sh FROM tok WHERE len(ws) >= 3),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |mh AS (SELECT doc_id,
+      |  min(md5('0|'||s)) AS h0, min(md5('1|'||s)) AS h1,
+      |  min(md5('2|'||s)) AS h2, min(md5('3|'||s)) AS h3,
+      |  min(md5('4|'||s)) AS h4, min(md5('5|'||s)) AS h5,
+      |  min(md5('6|'||s)) AS h6, min(md5('7|'||s)) AS h7
+      | FROM ex GROUP BY doc_id),
+      |bands AS (
+      | SELECT doc_id, 0 AS band, md5(h0||'|'||h1) AS bh FROM mh
+      | UNION ALL SELECT doc_id, 1, md5(h2||'|'||h3) FROM mh
+      | UNION ALL SELECT doc_id, 2, md5(h4||'|'||h5) FROM mh
+      | UNION ALL SELECT doc_id, 3, md5(h6||'|'||h7) FROM mh),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      | FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+      |FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+      |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 32-bit SimHash over distinct tokens: per-bit weighted vote of md5 token
+    * hashes (bit j extracted from hex nibble j/4).
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val tok = docs(dir)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
+      .withColumn("h", md5($"t"))
+    val bits = tok
+      .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("j"))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(h, 1 + cast(j/4 as int), 1)) - 1"))
+      .withColumn("bit", expr("pmod(shiftright(nib, pmod(j, 4)), 2)"))
+    bits
+      .groupBy($"doc_id", $"j")
+      .agg(sum(expr("2*bit - 1")).as("v"))
+      .groupBy($"doc_id")
+      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(cast(1 as bigint), j) ELSE 0 END"))
+        .cast("bigint").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupSimhashSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t FROM documents),
+      |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |  ((strpos('0123456789abcdef', substr(h, 1 + (j//4), 1)) - 1) >> (j%4)) % 2 AS bit
+      | FROM h, (SELECT unnest(generate_series(0,31)) AS j)),
+      |v AS (SELECT doc_id, j, sum(2*bit - 1) AS v FROM bits GROUP BY 1,2)
+      |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Token counting: whitespace tokens + type-token ratio. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    docs(dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("bigint").as("n_tokens"),
+        size(array_distinct(split($"text", " "))).cast("bigint").as("n_distinct"))
+      .withColumn("ttr", round($"n_distinct".cast("double") / $"n_tokens", 6))
+      .orderBy($"doc_id")
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+      | round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |   / len(string_split(text,' ')), 6) AS ttr
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, token count, mean token length, and a bounded
+    * composite score (rational arithmetic only — no transcendentals, so the
+    * oracle matches bit-for-bit).
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    docs(dir)
+      .select($"doc_id", length($"text").cast("bigint").as("n_chars_c"),
+        size(split($"text", " ")).cast("bigint").as("n_tokens"))
+      .withColumn("avg_tok_len",
+        round(($"n_chars_c" - ($"n_tokens" - 1)).cast("double") / $"n_tokens", 6))
+      .withColumn("quality", round(
+        least($"n_tokens".cast("double") / 100.0, lit(1.0)) * 0.5 +
+          least((($"n_chars_c" - ($"n_tokens" - 1)).cast("double") / $"n_tokens") / 8.0,
+            lit(1.0)) * 0.5, 6))
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String =
+    """SELECT doc_id,
+      | CAST(length(text) AS BIGINT) AS n_chars_c,
+      | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      | round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+      |   / len(string_split(text,' ')), 6) AS avg_tok_len,
+      | round(least(CAST(len(string_split(text,' ')) AS DOUBLE)/100.0, 1.0)*0.5 +
+      |   least((CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+      |     / len(string_split(text,' ')))/8.0, 1.0)*0.5, 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: marker-word occurrence counts via the
+    * replace-length trick (portable across engines), argmax with pinned
+    * tie order en > de > fr > es > unk.
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    def occ(marker: String) = expr(
+      s"cast((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $marker ', ''))) / ${marker.length + 2} as bigint)")
+    docs(dir)
+      .select($"doc_id", $"lang",
+        occ("the").as("occ_en"), occ("der").as("occ_de"),
+        occ("le").as("occ_fr"), occ("el").as("occ_es"))
+      .withColumn("lang_pred",
+        when($"occ_en" > 0 && $"occ_en" >= $"occ_de" && $"occ_en" >= $"occ_fr" && $"occ_en" >= $"occ_es", "en")
+          .when($"occ_de" > 0 && $"occ_de" >= $"occ_fr" && $"occ_de" >= $"occ_es", "de")
+          .when($"occ_fr" > 0 && $"occ_fr" >= $"occ_es", "fr")
+          .when($"occ_es" > 0, "es")
+          .otherwise("unk"))
+      .orderBy($"doc_id")
+  }
+
+  val textLangidSql: String = {
+    def occ(m: String) =
+      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $m ', ''))) / ${m.length + 2} AS BIGINT)"
+    s"""SELECT doc_id, lang,
+       | ${occ("the")} AS occ_en, ${occ("der")} AS occ_de,
+       | ${occ("le")} AS occ_fr, ${occ("el")} AS occ_es,
+       | CASE
+       |  WHEN ${occ("the")} > 0 AND ${occ("the")} >= ${occ("der")} AND ${occ("the")} >= ${occ("le")} AND ${occ("the")} >= ${occ("el")} THEN 'en'
+       |  WHEN ${occ("der")} > 0 AND ${occ("der")} >= ${occ("le")} AND ${occ("der")} >= ${occ("el")} THEN 'de'
+       |  WHEN ${occ("le")} > 0 AND ${occ("le")} >= ${occ("el")} THEN 'fr'
+       |  WHEN ${occ("el")} > 0 THEN 'es'
+       |  ELSE 'unk' END AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    docs(dir)
+      .select($"doc_id",
+        md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

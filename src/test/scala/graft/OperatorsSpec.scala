@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the driver-facing operators. Value-level
+  * correctness is gated by the driver's DuckDB oracle compare (and was
+  * verified against duckdb for every oracleSql entry); these tests pin the
+  * invariants that survive data regeneration plus plan-shape properties
+  * (pushdown, broadcast).
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("operators-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every query runs and the SQL-oracled ones return rows") {
+    val emptyOk = Set("q_anti_join") // allowed to be empty at tiny SF
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!name.startsWith("crawl_")) { // crawl queries covered below
+        val n = fn(spark, dir).count()
+        assert(emptyOk.contains(name) || n > 0, s"$name returned 0 rows")
+      }
+    }
+  }
+
+  test("oracleSql covers exactly the SQL-expressible queries") {
+    val sqlFree = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(sqlFree == Set("crawl_smoke", "crawl_phash_dedup"))
+  }
+
+  test("minhash LSH pairs are verified near-dups (jaccard >= 0.8, a < b)") {
+    val rows = graft.operators.TextOps.dedupMinhashLsh(spark, dir).collect()
+    assert(rows.nonEmpty, "corpus contains injected near-dups; none found")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+
+  test("knn ranks are 1..5 per query, no self-matches") {
+    val rows = graft.operators.VectorOps.embedKnn(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 20)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to 5))
+      rs.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    }
+  }
+
+  test("ann_lsh neighbors share the query's sign bucket") {
+    val rows = graft.operators.VectorOps.embedAnnLsh(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(4) >= 1 && r.getInt(4) <= 3))
+  }
+
+  test("crawl_smoke: every fetched binary decodes to its typed metadata") {
+    val rows = graft.operators.ImageOps.crawlSmoke(spark, dir).collect()
+    assert(rows.size > 30)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("decode_ok"), s"decode failed: ${r.getString(0)}")
+      assert(r.getAs[Boolean]("phash_ok"), s"phash drifted: ${r.getString(0)}")
+      assert(r.getAs[String]("thumb").startsWith("resized:8x8:"))
+    }
+  }
+
+  test("crawl_phash_dedup flags only pairs within hamming <= 3") {
+    val rows = graft.operators.ImageOps.crawlPhashDedup(spark, dir).collect()
+    rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("plan shape: count query pushes the date filter into the parquet scan") {
+    val plan = graft.operators.RelationalOps.qCountPushdown(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("plan shape: dimension join broadcasts the small side") {
+    val plan = graft.operators.RelationalOps.qBroadcastJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("plan shape: q1_agg scan is pruned to the referenced columns") {
+    val plan = graft.operators.RelationalOps.q1Agg(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("l_returnflag") && !plan.contains("l_orderkey"),
+      s"column pruning failed:\n$plan")
+  }
+}
