@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local-mode Spark = single JVM; image payload benchmarks churn GBs.
+  // ParallelGC sustains the fetcher's allocation rate better than G1 at
+  // 32 executor threads.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+UseParallelGC",
 )

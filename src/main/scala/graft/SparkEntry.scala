@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ImageOps, RelationalOps => R, TextOps => T, VectorOps => V}
+import graft.operators.{ImageOps, RelationalOps => R, StreamingOps => S, TextOps => T, VectorOps => V}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory
@@ -30,6 +30,7 @@ object SparkEntry {
     "q_event_window" -> (R.qEventWindow _),
     "q_explode_tokens" -> (R.qExplodeTokens _),
     "q_date_range" -> (R.qDateRange _),
+    "q_json_extract" -> (R.qJsonExtract _),
     // text pipeline (training-data ops)
     "dedup_exact" -> (T.dedupExact _),
     "dedup_ngram" -> (T.dedupNgram _),
@@ -43,6 +44,9 @@ object SparkEntry {
     "embed_knn" -> (V.embedKnn _),
     "embed_neardup" -> (V.embedNearDup _),
     "embed_ann_lsh" -> (V.embedAnnLsh _),
+    // structured streaming (event-time window + stateful sessionization)
+    "stream_event_window" -> (S.streamEventWindow _),
+    "stream_sessionize" -> (S.streamSessionize _),
     // crawl engine end-to-end (binary payloads; rows-only driver check)
     "crawl_smoke" -> (ImageOps.crawlSmoke _),
     "crawl_phash_dedup" -> (ImageOps.crawlPhashDedup _)
@@ -60,6 +64,7 @@ object SparkEntry {
     "q_event_window" -> R.qEventWindowSql,
     "q_explode_tokens" -> R.qExplodeTokensSql,
     "q_date_range" -> R.qDateRangeSql,
+    "q_json_extract" -> R.qJsonExtractSql,
     "dedup_exact" -> T.dedupExactSql,
     "dedup_ngram" -> T.dedupNgramSql,
     "dedup_minhash_lsh" -> T.dedupMinhashLshSql,
@@ -70,6 +75,8 @@ object SparkEntry {
     "text_fingerprint" -> T.textFingerprintSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,
-    "embed_ann_lsh" -> V.embedAnnLshSql
+    "embed_ann_lsh" -> V.embedAnnLshSql,
+    "stream_event_window" -> S.streamEventWindowSql,
+    "stream_sessionize" -> S.streamSessionizeSql
   )
 }

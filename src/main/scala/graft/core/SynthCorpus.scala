@@ -30,6 +30,12 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   * @param failures     if true, inject deterministic transient/permanent
   *                     fetch failures (exercises retry/backoff,
   *                     medcrawler/base.py:136-154)
+  * @param imgBase      minimum image edge length in px
+  * @param imgVar       image edge length varies in [imgBase, imgBase+imgVar)
+  *                     (benchmarks use larger payloads than tests)
+  * @param quotaBoost   multiplies every host's per-round quota (benchmark
+  *                     knob: models longer scheduling rounds — quota =
+  *                     roundMs/minInterval scales linearly with round length)
   */
 case class CorpusSpec(
     seed: Long = 42L,
@@ -37,7 +43,10 @@ case class CorpusSpec(
     pagesPerHost: Int = 500,
     skewHost0: Boolean = false,
     maxOutlinks: Int = 8,
-    failures: Boolean = true) {
+    failures: Boolean = true,
+    imgBase: Int = 16,
+    imgVar: Int = 17,
+    quotaBoost: Int = 1) {
 
   def hostName(i: Int): String = s"host-$i.example.org"
 
@@ -58,7 +67,7 @@ case class CorpusSpec(
     val (interval, cap) = if (fast) (100, 5) else (340, 3)
     // token-bucket quota per nominal 1000 ms round: floor(round/interval),
     // capped by the reference's hard batch cap (3 or 5)
-    val quota = math.min(1000 / interval, cap)
+    val quota = math.min(1000 / interval, cap) * quotaBoost
     HostPolicy(hostName(i), interval, quota, Seq("/private"))
   }
 
@@ -69,9 +78,25 @@ case class CorpusSpec(
       Seed(s"seed-$i", pageUrl(i * (numHosts / k), 0), 1.0 / k)
     }
   }
+
+  /** Every URL of the corpus as a seed — builds a full-width frontier for
+    * single-round scheduling-throughput benchmarks (the north metric is
+    * URLs scheduled+fetched/sec over an N-entry frontier).
+    */
+  def allSeeds: Seq[Seed] = {
+    val total = (0 until numHosts).map(pagesOf).sum.toDouble
+    (0 until numHosts).flatMap { h =>
+      (0 until pagesOf(h)).map(p => Seed(s"seed-$h-$p", pageUrl(h, p), 1.0 / total))
+    }
+  }
 }
 
 object SynthCorpus {
+
+  // ImageIO defaults to disk-backed stream caches (a temp FILE per encode/
+  // decode) — pure overhead + contention with 32 executor threads hammering
+  // the codec. In-memory caching is strictly better at our image sizes.
+  ImageIO.setUseCache(false)
 
   /** splitmix64 finalizer-style mix of two longs — stable across JVMs. */
   def mix(a: Long, b: Long): Long = {
@@ -147,8 +172,8 @@ object SynthCorpus {
   /** Deterministic smooth RGB raster for a URL (integer gradients). */
   def raster(spec: CorpusSpec, canonUrl: String): (Int, Int, Array[Int]) = {
     val rng = new SplittableRandom(mix(spec.seed, mix(0x1a6eL, Canon.xxhash64(canonUrl))))
-    val w = 16 + rng.nextInt(17)
-    val h = 16 + rng.nextInt(17)
+    val w = spec.imgBase + rng.nextInt(spec.imgVar)
+    val h = spec.imgBase + rng.nextInt(spec.imgVar)
     // non-wrapping clamped linear gradients: smooth fields survive JPEG
     // (wrap-around sawtooths would crater PSNR below the 40 dB invariant)
     val ar = rng.nextInt(3); val br = rng.nextInt(3); val cr = rng.nextInt(64)
@@ -175,12 +200,33 @@ object SynthCorpus {
     if (rng.nextInt(10) < 3) "jpeg" else "png"
   }
 
-  /** Encoded image bytes + dims + fmt for a URL. */
+  /** Encoded image bytes + dims + fmt for a URL. Renders the SAME pixels as
+    * [[raster]] directly into the image's backing buffer (one allocation —
+    * executor threads are allocation-rate-bound at high parallelism).
+    */
   def imageBytes(spec: CorpusSpec, canonUrl: String): (Array[Byte], Int, Int, String) = {
-    val (w, h, px) = raster(spec, canonUrl)
+    val rng = new SplittableRandom(mix(spec.seed, mix(0x1a6eL, Canon.xxhash64(canonUrl))))
+    val w = spec.imgBase + rng.nextInt(spec.imgVar)
+    val h = spec.imgBase + rng.nextInt(spec.imgVar)
+    val ar = rng.nextInt(3); val br = rng.nextInt(3); val cr = rng.nextInt(64)
+    val ag = rng.nextInt(3); val bg = rng.nextInt(3); val cg = rng.nextInt(64)
+    val ab = rng.nextInt(3); val bb = rng.nextInt(3); val cb = rng.nextInt(64)
     val fmt = fmtOf(spec, canonUrl)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    img.setRGB(0, 0, w, h, px, 0, w)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = math.min(255, ar * x + br * y + cr)
+        val g = math.min(255, ag * x + bg * y + cg)
+        val b = math.min(255, ab * x + bb * y + cb)
+        buf(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
     val bos = new ByteArrayOutputStream()
     if (fmt == "jpeg") {
       val writer = ImageIO.getImageWritersByFormatName("jpeg").next()

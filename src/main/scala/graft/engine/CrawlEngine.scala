@@ -60,18 +60,28 @@ object CrawlEngine {
       totalScheduled: Long,
       manifest: Snapshot.Manifest) {
 
-    /** Schedule in the pinned crawl order. */
+    /** Schedule in the pinned crawl order (narrow projection of the
+      * attempts log; `bytes` pruned at the parquet scan).
+      */
     def schedule(spark: SparkSession): DataFrame =
       if (manifest.scheduleDirs.isEmpty) emptySchedule(spark)
       else
         spark.read.parquet(manifest.scheduleDirs: _*)
+          .select(col("round"), col("canonUrl"), col("urlHash"), col("host"),
+            col("hostBucket"), col("priority"), col("depth"), col("attempt"))
           .orderBy(col("round").asc, col("priority").desc, col("host").asc,
             col("urlHash").asc)
 
+    /** Fetched rows in the input_hint schema + lineage (ok attempts only). */
     def fetched(spark: SparkSession): DataFrame =
       if (manifest.fetchedDirs.isEmpty)
         spark.emptyDataFrame
       else spark.read.parquet(manifest.fetchedDirs: _*)
+        .where(col("ok"))
+        .select(col("canonUrl").as("image_id"), col("bytes"), col("w"),
+          col("h"), col("fmt"), col("caption"), col("phash"),
+          col("seedId").as("seed_id"), col("path"), col("depth"),
+          col("priority"), col("round"))
 
     def seen(spark: SparkSession): DataFrame =
       if (manifest.seenDirs.isEmpty) spark.emptyDataFrame
@@ -181,6 +191,14 @@ object CrawlEngine {
       m: Snapshot.Manifest): Snapshot.Manifest = {
     import spark.implicits._
     val r = m.round + 1
+    val verbose = sys.env.contains("GRAFT_VERBOSE")
+    def ph[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val v = f
+      if (verbose)
+        println(f"[round $r] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      v
+    }
 
     val frontier = spark.read.parquet(m.frontierDir).as[FrontierEntry]
     val eligible = frontier.where($"notBeforeRound" <= r).toDF()
@@ -225,9 +243,17 @@ object CrawlEngine {
     val quotaKept = ranked.where($"rk" <= $"quotaPerRound")
     val quotaRejected = ranked.where($"rk" > $"quotaPerRound")
 
-    // ---- global budget (L1) — global sort ONLY on the final short round --
+    // ---- global budget (L1): keptCount comes from a small per-host
+    // aggregate over the cached candidates (counting does not need the
+    // window; the window runs once, inside the fetch pass) ----
     val remaining = math.max(0L, cfg.maxResults - m.totalScheduled)
-    val keptCount = quotaKept.count()
+    val hostStats = ph("hostStats")(
+      joined.groupBy($"host", $"blocked", $"quotaPerRound").count().collect()
+        .map(row => (row.getString(0), row.getBoolean(1)) ->
+          ((row.getInt(2), row.getLong(3)))).toMap)
+    val keptCount = hostStats.collect {
+      case ((_, false), (quota, n)) => math.min(quota.toLong, n)
+    }.sum
     val (sched, budgetRejected) =
       if (keptCount <= remaining) (quotaKept, spark.emptyDataFrame)
       else {
@@ -239,40 +265,45 @@ object CrawlEngine {
       }
     val schedCount = math.min(keptCount, remaining)
 
-    // persist the schedule delta (crawl-order evidence; order = sort keys)
-    val scheduleDir = s"$outDir/schedule/r$r"
-    sched.select($"urlHash", $"canonUrl", $"host", $"hostBucket", $"priority",
-      $"depth", $"attempt", lit(r).as("round"))
-      .write.mode("overwrite").parquet(scheduleDir)
-
-    // ---- fetch (S1): salted range partition kills host skew, then
-    // executor-side synthetic fetch in mapPartitions ----
-    val results = sched
+    // ---- fetch (S1): salted hash repartition kills host skew (a mega-host
+    // spreads over 16 salt values; no RangePartitioner sampling pass), then
+    // the executor-side synthetic fetch runs in mapPartitions and lands in
+    // ONE per-round attempts table — the fetch log: schedule + outcome +
+    // payload. Everything downstream reads it back with `bytes` pruned away
+    // by parquet column pruning, so the payload is serialized exactly once.
+    // EXPLICIT partition count: the task rows are tiny (no payload yet), so
+    // AQE would coalesce this exchange to ~1 partition and serialize the
+    // expensive per-URL fetch — cost lives in the work, not the bytes.
+    // An explicit repartition(N, cols) opts out of AQE coalescing.
+    // 2x over-partitioning: per-URL fetch cost varies (png vs jpeg, size),
+    // so 1-task-per-core makes the slowest task bound the stage; finer
+    // granularity lets the scheduler level the load (same reason real
+    // clusters run 2-4x tasks per slot)
+    val fetchParallelism = spark.sessionState.conf.numShufflePartitions * 2
+    val attemptsDir = s"$outDir/attempts/r$r"
+    ph("fetchAndWrite")(sched
       .select($"canonUrl", $"urlHash", $"host", $"hostBucket", $"depth",
         $"priority", $"seedId", $"path", $"attempt")
       .as[FetchTask]
-      .repartitionByRange($"host", pmod($"urlHash", lit(16)))
+      .repartition(fetchParallelism, $"host", pmod($"urlHash", lit(16)))
       .mapPartitions { it => it.map(t => Fetcher.fetchOne(spec, t, r)) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .write.mode("overwrite").parquet(attemptsDir))
 
+    val results = spark.read.parquet(attemptsDir)
     val okRes = results.where($"ok")
     val failRes = results.where(!$"ok")
-
-    // fetched table (input_hint schema + lineage)
-    val fetchedDir = s"$outDir/fetched/r$r"
-    okRes.select($"canonUrl".as("image_id"), $"bytes", $"w", $"h", $"fmt",
-      $"caption", $"phash", $"seedId".as("seed_id"), $"path",
-      $"depth", $"priority", $"round")
-      .write.mode("overwrite").parquet(fetchedDir)
 
     // ---- seen delta: fetched ok ∪ retry-exhausted ∪ robots-blocked ----
     val exhausted = failRes.where($"attempt" + 1 >= cfg.maxRetries)
     val seenDelta = okRes.select($"urlHash", $"hostBucket")
       .unionByName(exhausted.select($"urlHash", $"hostBucket"))
       .unionByName(blockedDf.select($"urlHash", $"hostBucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val seenDir = s"$outDir/seen/r$r"
-    seenDelta.write.mode("overwrite").partitionBy("hostBucket").parquet(seenDir)
+    // one task per bucket -> one file per partition dir (aligned with the
+    // anti-join's bucket pruning; avoids numBuckets x numPartitions tiny files)
+    ph("writeSeen")(seenDelta.repartition(cfg.numBuckets, $"hostBucket")
+      .write.mode("overwrite").partitionBy("hostBucket").parquet(seenDir))
+    val seenDeltaOnDisk = readSeen(spark, Seq(seenDir))
 
     // retry re-enqueue with exponential backoff (ref wait_chain,
     // medcrawler/base.py:136-154)
@@ -334,37 +365,74 @@ object CrawlEngine {
 
     // new URLs: not seen (incl. this round's delta) and not pending
     val seenAll =
-      if (m.seenDirs.isEmpty) seenDelta
+      if (m.seenDirs.isEmpty) seenDeltaOnDisk.select("urlHash", "hostBucket")
       else readSeen(spark, m.seenDirs).select("urlHash", "hostBucket")
-        .unionByName(seenDelta.select("urlHash", "hostBucket"))
+        .unionByName(seenDeltaOnDisk.select("urlHash", "hostBucket"))
     val fresh = newEntries
       .join(seenAll, Seq("urlHash", "hostBucket"), "left_anti")
       .join(pending.select("urlHash"), Seq("urlHash"), "left_anti")
 
     val nextFrontier = pending.unionByName(fresh)
     val nextFrontierDir = s"$outDir/frontier/r${r + 1}"
-    nextFrontier.write.mode("overwrite").parquet(nextFrontierDir)
-    val nextFrontierCount = spark.read.parquet(nextFrontierDir).count()
+    ph("writeFrontier")(nextFrontier.write.mode("overwrite").parquet(nextFrontierDir))
+    // row counts come from parquet footers (driver-side metadata read, no
+    // Spark job) -- the same statistics an Iceberg manifest would carry
+    val nextFrontierCount = parquetRowCount(spark, nextFrontierDir)
 
-    // ---- metrics (A2 analog + north-rule politeness-wait) ----
+    // ---- metrics (A2 analog + north-rule politeness-wait): per-host
+    // candidate/robots stats were already collected (hostStats); one more
+    // small aggregate collects fetch outcomes; the metrics table is written
+    // from driver-local rows (one tiny task)
     val metricsDir = s"$outDir/metrics/r$r"
-    writeMetrics(spark, r, eligible, blockedDf, sched, okRes.toDF(),
-      failRes.toDF(), policyDf, metricsDir)
+    var fetchedOkCount = 0L
+    ph("metrics") {
+      val outcome = results.groupBy($"host", $"ok").count().collect()
+        .map(row => (row.getString(0), row.getBoolean(1)) -> row.getLong(2)).toMap
+      fetchedOkCount = outcome.collect { case ((_, true), n) => n }.sum
+      val intervals = spec.hostPolicies.map(p => p.host -> p.minIntervalMs).toMap
+      val hosts = (hostStats.keySet.map(_._1) ++ outcome.keySet.map(_._1)).toVector.sorted
+      val rows = hosts.map { host =>
+        val cand = hostStats.getOrElse((host, false), (0, 0L))._2 +
+          hostStats.getOrElse((host, true), (0, 0L))._2
+        val blk = hostStats.getOrElse((host, true), (0, 0L))._2
+        val ok = outcome.getOrElse((host, true), 0L)
+        val fl = outcome.getOrElse((host, false), 0L)
+        val defr = cand - blk - ok - fl
+        RoundMetrics(r, host, cand, 0L, blk, ok + fl, ok, fl, defr,
+          defr * intervals.getOrElse(host, 340))
+      }
+      spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(metricsDir)
+    }
 
     // ---- bloom merge + snapshot commit ----
+    // expectedItems must be CONSTANT across rounds: sketch bloom filters can
+    // only merge at identical bit size. Sized for the crawl horizon per
+    // bucket; saturation degrades the prefilter's fpp, never correctness
+    // (the anti-join is authoritative).
     val expectedItems =
-      if (cfg.bloomExpectedItems > 0) cfg.bloomExpectedItems
-      else math.max(1024L, schedCount * 4)
-    val deltaBlooms = Bloom.buildPerBucket(seenDelta, expectedItems, cfg.bloomFpp)
+      if (cfg.bloomExpectedItems > 0) cfg.bloomExpectedItems else 1L << 16
+    val deltaBlooms = ph("bloomBuild")(
+      Bloom.buildPerBucket(seenDeltaOnDisk, expectedItems, cfg.bloomFpp))
     val merged = Bloom.merge(blooms, deltaBlooms)
     val bloomFile = s"$outDir/bloom/r$r.bin"
     Bloom.save(Paths.get(bloomFile), merged)
 
-    val seenDeltaCount = seenDelta.count()
-    val fetchedOkCount = okRes.count()
+    val seenDeltaCount = parquetRowCount(spark, seenDir)
 
-    joined.unpersist(); ranked.unpersist(); results.unpersist()
-    seenDelta.unpersist(); pending.unpersist()
+    joined.unpersist(); ranked.unpersist(); pending.unpersist()
+
+    // compact seen deltas periodically: linear delta growth would make the
+    // per-round union (and its file listing) quadratic over a long crawl --
+    // the Iceberg-compaction analog; the manifest swaps N delta dirs for one
+    val newSeenDirs =
+      if (m.seenDirs.size + 1 >= 16) {
+        val compactDir = s"$outDir/seen/compact-r$r"
+        readSeen(spark, m.seenDirs :+ seenDir)
+          .select("urlHash", "hostBucket")
+          .repartition(cfg.numBuckets, $"hostBucket")
+          .write.mode("overwrite").partitionBy("hostBucket").parquet(compactDir)
+        Vector(compactDir)
+      } else m.seenDirs :+ seenDir
 
     val totalScheduled = m.totalScheduled + schedCount
     Snapshot.Manifest(
@@ -373,9 +441,9 @@ object CrawlEngine {
       round = r,
       totalScheduled = totalScheduled,
       frontierDir = nextFrontierDir,
-      seenDirs = m.seenDirs :+ seenDir,
-      fetchedDirs = if (fetchedOkCount > 0) m.fetchedDirs :+ fetchedDir else m.fetchedDirs,
-      scheduleDirs = if (schedCount > 0) m.scheduleDirs :+ scheduleDir else m.scheduleDirs,
+      seenDirs = newSeenDirs,
+      fetchedDirs = if (fetchedOkCount > 0) m.fetchedDirs :+ attemptsDir else m.fetchedDirs,
+      scheduleDirs = if (schedCount > 0) m.scheduleDirs :+ attemptsDir else m.scheduleDirs,
       metricsDirs = m.metricsDirs :+ metricsDir,
       bloomFile = bloomFile,
       frontierCount = nextFrontierCount,
@@ -393,35 +461,25 @@ object CrawlEngine {
     spark.emptyDataset[FrontierEntry].toDF()
   }
 
-  private def writeMetrics(
-      spark: SparkSession,
-      r: Int,
-      eligible: DataFrame,
-      blocked: DataFrame,
-      sched: DataFrame,
-      ok: DataFrame,
-      fail: DataFrame,
-      policyDf: DataFrame,
-      dir: String): Unit = {
-    import spark.implicits._
-    def cnt(df: DataFrame, name: String): DataFrame =
-      df.groupBy($"host").agg(count(lit(1)).as(name))
-    val joinedM = cnt(eligible, "candidates")
-      .join(cnt(blocked, "robotsBlocked"), Seq("host"), "full_outer")
-      .join(cnt(sched, "scheduled"), Seq("host"), "full_outer")
-      .join(cnt(ok, "fetchedOk"), Seq("host"), "full_outer")
-      .join(cnt(fail, "failed"), Seq("host"), "full_outer")
-      .join(broadcast(policyDf.select($"host", $"minIntervalMs")),
-        Seq("host"), "left")
-      .na.fill(0L, Seq("candidates", "robotsBlocked", "scheduled", "fetchedOk", "failed"))
-      .withColumn("minIntervalMs", coalesce($"minIntervalMs", lit(340)))
-      .withColumn("round", lit(r))
-      .withColumn("seenDropped", lit(0L))
-      .withColumn("deferred", $"candidates" - $"robotsBlocked" - $"scheduled")
-      .withColumn("politenessWaitMs", $"deferred" * $"minIntervalMs")
-      .select("round", "host", "candidates", "seenDropped", "robotsBlocked",
-        "scheduled", "fetchedOk", "failed", "deferred", "politenessWaitMs")
-    joinedM.write.mode("overwrite").parquet(dir)
+  /** Total row count of a parquet dir from file footers -- driver-side
+    * metadata only, no Spark job (Iceberg-manifest-style statistics).
+    */
+  private def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val it = fs.listFiles(new Path(dir), true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try n += rd.getRecordCount finally rd.close()
+      }
+    }
+    n
   }
 }
 

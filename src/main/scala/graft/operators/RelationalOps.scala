@@ -212,6 +212,29 @@ object RelationalOps {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin
 
+  /** P2/F6 analog: JSON metadata extraction (ref: CT.gov nested-JSON →
+    * columns projection, medcrawler/clinical_trials.py:175-221, and the
+    * str→dict fallback parse, medcrawler/pubmed.py:95-96).
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    t(dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("bigint").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** F8/P4 analog: date arithmetic + range predicate (ref: --recent now-90d,
     * medcrawler/demo.py:183-192; date-range pushdown,
     * medcrawler/pubmed.py:159-170).

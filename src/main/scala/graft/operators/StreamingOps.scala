@@ -1,0 +1,146 @@
+package graft.operators
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` table, driven to
+  * completion on static input (file source → memory sink →
+  * `processAllAvailable`) so they fit the driver's batch query contract and
+  * can be checked against the same DuckDB oracles as their batch twins.
+  *
+  * Context: the crawl engine itself is deliberately NOT Structured
+  * Streaming — each round's input depends on the previous round's output
+  * (seen-set feedback), which SS forbids; the reference's own page loop is
+  * the same driver-looped micro-batch shape (SURVEY.md §2.9). These
+  * operators cover the streaming surface a training-data pipeline needs:
+  * event-time windowed aggregation with a watermark, and custom keyed state
+  * via flatMapGroupsWithState (sessionization).
+  */
+object StreamingOps {
+
+  private val nameSeq = new AtomicInteger(0)
+
+  /** File-source stream over the events table. basePath must be the parent
+    * DIRECTORY (the table is a single parquet file); the parquet timestamp
+    * infers as TIMESTAMP_NTZ, which watermarks reject — cast to session-TZ
+    * timestamp (UTC, so values are unchanged).
+    */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file streaming source wants a directory or a glob, not a bare
+    // file path — a glob that matches exactly the events table works
+    spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_${nameSeq.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Event-time tumbling window aggregation (watermarked). Result is
+    * identical to the batch `q_event_window` (same oracle SQL):
+    * window(1h).start == date_trunc('hour', ts).
+    */
+  def streamEventWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = eventStream(spark, dir)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("win"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("value_cents"))
+    // cast back to NTZ so the written schema matches the batch tables
+    // (UTC session ⇒ values unchanged)
+    runToTable(agg, OutputMode.Complete())
+      .select($"win.start".cast("timestamp_ntz").as("hour"), $"event_type",
+        $"n", $"value_cents")
+      .orderBy($"hour", $"event_type")
+  }
+
+  val streamEventWindowSql: String = RelationalOps.qEventWindowSql
+
+  // NOT private: Catalyst's generated projections must access these
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
+  case class Session(
+      user_id: Long,
+      session_id: Long,
+      n_events: Long,
+      session_start: Timestamp,
+      session_end: Timestamp)
+
+  /** Stateful streaming sessionization: per-user sessions split on >30 min
+    * idle gaps, via flatMapGroupsWithState (custom keyed state). On static
+    * input every event arrives in one micro-batch, so all sessions finalize
+    * immediately; the state plumbing (GroupState) is still exercised. Events
+    * inside a group are sorted by (ts, event_id) — the pinned order the SQL
+    * oracle's window functions use.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = eventStream(spark, dir)
+      .select($"user_id", $"ts", $"event_id")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionFn)
+    runToTable(sessions.toDF(), OutputMode.Append())
+      .select($"user_id", $"session_id", $"n_events",
+        $"session_start".cast("timestamp_ntz").as("session_start"),
+        $"session_end".cast("timestamp_ntz").as("session_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  private def sessionFn(
+      userId: Long,
+      events: Iterator[Ev],
+      state: GroupState[Long]): Iterator[Session] = {
+    val sorted = events.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    val gapMs = 30L * 60 * 1000
+    val out = Vector.newBuilder[Session]
+    var sid = state.getOption.getOrElse(0L)
+    var start = sorted.head.ts
+    var last = sorted.head.ts
+    var n = 1L
+    sorted.tail.foreach { e =>
+      if (e.ts.getTime - last.getTime > gapMs) {
+        out += Session(userId, sid, n, start, last)
+        sid += 1; start = e.ts; n = 0L
+      }
+      n += 1
+      last = e.ts
+    }
+    out += Session(userId, sid, n, start, last)
+    state.update(sid + 1)
+    out.result().iterator
+  }
+
+  val streamSessionizeSql: String =
+    """WITH e AS (
+      | SELECT user_id, ts, event_id,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      | FROM events),
+      |s AS (
+      | SELECT user_id, ts,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      | FROM e)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      | count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+      |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+}

@@ -83,7 +83,10 @@ object TextOps {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val sh = shingles(dir)
+    // sh is consumed 3x (signature build + both sides of the verify join)
+    // and bands 2x (candidate self-join): persist so the shingle explode +
+    // md5-min aggregation run once, not four times
+    val sh = shingles(dir).persist()
     val ex = sh.select($"doc_id", explode($"sh").as("s"))
     val minCols = (0 until 8).map(i =>
       min(md5(concat(lit(s"$i|"), $"s"))).as(s"h$i"))
@@ -94,6 +97,7 @@ object TextOps {
     val bands = mh
       .select($"doc_id", explode(array(bandCols: _*)).as("bd"))
       .select($"doc_id", $"bd.band".as("band"), $"bd.bh".as("bh"))
+      .persist()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
