@@ -142,15 +142,29 @@ object CrawlEngine {
         lit(0).as("notBeforeRound"))
       .as[FrontierEntry]
 
+    val t0 = System.nanoTime()
     val fDir = s"$outDir/frontier/r0"
     frontier0.write.mode("overwrite").parquet(fDir)
-    val fCount = spark.read.parquet(fDir).count()
+    if (sys.env.contains("GRAFT_VERBOSE"))
+      println(f"[init] seed frontier write: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val fCount = parquetRowCount(spark, fDir)
     val bloomFile = s"$outDir/bloom/r0.bin"
     Bloom.save(Paths.get(bloomFile), Map.empty)
     val m0 = Snapshot.Manifest(0, -1, -1, 0L, fDir, Vector.empty, Vector.empty,
       Vector.empty, Vector.empty, bloomFile, fCount, 0L, 0L, done = fCount == 0)
     Snapshot.commit(outDir, m0)
     loop(spark, spec, cfg, outDir, m0)
+  }
+
+  /** Time-travel: open the crawl as of an older committed snapshot id —
+    * every state pointer (frontier, seen, fetched, schedule, metrics, bloom)
+    * is the one that was current at that commit (Iceberg snapshot-read
+    * analog; ref analog: the TTL cache serving an older consistent view,
+    * medcrawler/base.py:52-93).
+    */
+  def atSnapshot(outDir: String, snapshotId: Int): CrawlResult = {
+    val m = Snapshot.read(outDir, snapshotId)
+    CrawlResult(outDir, m.round + 1, m.totalScheduled, m)
   }
 
   /** Exact resume from the latest committed snapshot. */
@@ -363,14 +377,16 @@ object CrawlEngine {
       .unionByName(retries)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // new URLs: not seen (incl. this round's delta) and not pending
+    // new URLs: not seen (incl. this round's delta) and not pending.
+    // One bucket-prunable anti-join against the union of both exclusion
+    // sets (one shuffle/stage instead of two).
     val seenAll =
       if (m.seenDirs.isEmpty) seenDeltaOnDisk.select("urlHash", "hostBucket")
       else readSeen(spark, m.seenDirs).select("urlHash", "hostBucket")
         .unionByName(seenDeltaOnDisk.select("urlHash", "hostBucket"))
+    val excluded = seenAll.unionByName(pending.select("urlHash", "hostBucket"))
     val fresh = newEntries
-      .join(seenAll, Seq("urlHash", "hostBucket"), "left_anti")
-      .join(pending.select("urlHash"), Seq("urlHash"), "left_anti")
+      .join(excluded, Seq("urlHash", "hostBucket"), "left_anti")
 
     val nextFrontier = pending.unionByName(fresh)
     val nextFrontierDir = s"$outDir/frontier/r${r + 1}"

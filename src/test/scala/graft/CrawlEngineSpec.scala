@@ -113,6 +113,20 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(resB.manifest.totalScheduled == resA.manifest.totalScheduled)
   }
 
+  test("time-travel: an older snapshot is a prefix of the final state") {
+    val spec = CorpusSpec(numHosts = 5, pagesPerHost = 30)
+    val cfg = CrawlConfig(maxResults = 100, maxRounds = 12)
+    val dir = tmpDir()
+    val full = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, dir)
+    assert(full.manifest.snapshotId >= 3, "need a few committed snapshots")
+    val mid = CrawlEngine.atSnapshot(dir, 2)
+    val fullOrder = engineOrder(full)
+    val midOrder = engineOrder(mid)
+    assert(midOrder == fullOrder.take(midOrder.size), "snapshot not a prefix")
+    assert(engineSeen(mid).subsetOf(engineSeen(full)))
+    assert(mid.totalScheduled < full.totalScheduled)
+  }
+
   test("skewed corpus (host-0 has 9× pages) still matches oracle") {
     val spec = CorpusSpec(numHosts = 4, pagesPerHost = 30, skewHost0 = true)
     val cfg = CrawlConfig(maxResults = 80, maxRounds = 16)
