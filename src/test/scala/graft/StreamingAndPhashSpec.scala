@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{ImageOps, RelationalOps, StreamingOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingAndPhashSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-phash-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg ≡ batch windowed agg (same rows)") {
+    // compare stringified rows: NTZ columns collect as LocalDateTime from
+    // the streaming path and as Timestamp from the batch path (same instant)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(r => r.toSeq.map {
+        case t: java.sql.Timestamp => t.toLocalDateTime.toString
+        case t: java.time.LocalDateTime => t.toString
+        case v => String.valueOf(v)
+      }.mkString("|")).toSet
+    val stream = rows(StreamingOps.streamEventWindow(spark, dir))
+    val batch = rows(RelationalOps.qEventWindow(spark, dir))
+    assert(stream == batch)
+  }
+
+  test("streaming sessionization: per-user event counts are conserved") {
+    val sessions = StreamingOps.streamSessionize(spark, dir)
+    val perUser = sessions.groupBy("user_id")
+      .agg(sum("n_events").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUser == events)
+    // sessions are ordered: start <= end per session (NTZ → LocalDateTime)
+    sessions.collect().foreach { r =>
+      val s = r.getAs[java.time.LocalDateTime](3)
+      val e = r.getAs[java.time.LocalDateTime](4)
+      assert(!s.isAfter(e))
+    }
+  }
+
+  test("phash pigeonhole bucketing finds EXACTLY the brute-force hamming<=3 pairs") {
+    import spark.implicits._
+    // derive a phash table from a small deterministic crawl
+    val df = ImageOps.crawlSmoke(spark, dir).select($"image_id", $"phash")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    val brute = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2)
+      if h <= 3
+    } yield (a._1, b._1, h)).toSet
+    val lsh = ImageOps.phashNearDup(df, "image_id", "phash", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "corpus should contain near-dup phashes")
+  }
+}
