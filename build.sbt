@@ -30,6 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ParallelGC sustains the fetcher's allocation rate better than G1 at
   // 32 executor threads.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pre-sizing the whole heap avoids GC-growth noise in benchmarks, but a
+  // 48g Xms would fail JVM startup on smaller machines — only pin Xms when
+  // the caller sized the heap explicitly
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseParallelGC",
 )

@@ -25,20 +25,35 @@ import scala.collection.mutable
   *     urlHash ASC) — THE schedule order — and keep the first
   *     (maxResults − totalScheduled). (Ref analog: max_results counting after
   *     seen-exclusion, medcrawler/pubmed.py:188-190.)
-  *  5. fetch each scheduled entry: success iff attempt ≥ failAttempts(url).
-  *     Scheduled entries leave the frontier. Failures with attempt+1 <
-  *     maxRetries re-enter the frontier with attempt+1 and notBeforeRound =
-  *     r + backoffRounds(attempt+1), backoffRounds(a) = min(2^a, 8) (echo of
-  *     the reference wait_chain: fixed, then exponential, capped —
-  *     medcrawler/base.py:136-154). Exhausted failures are dropped (→ seen).
-  *  6. seen ∪= {fetched ok} ∪ {permanently failed} ∪ {robots-blocked}.
+  *  5. fetch each scheduled entry, with a typed failure taxonomy
+  *     (ref exceptions.py:36-66):
+  *      - RATE-LIMITED (429-analog): if the host is rate-limited this round
+  *        (SynthCorpus.rateLimitDefer > 0) every fetch against it fails
+  *        WITHOUT consuming an attempt; the URL re-enters the frontier with
+  *        notBeforeRound = r + retryAfter, and after expansion the WHOLE
+  *        host is deferred: every frontier entry of that host gets
+  *        notBeforeRound = max(its value, r + retryAfter) (Retry-After
+  *        analog, medcrawler/base.py:296-301).
+  *      - PERMANENT (404-analog, failAttempts ≥ PermanentFail): dropped
+  *        immediately (→ seen), no retry burn.
+  *      - TRANSIENT (attempt < failAttempts < PermanentFail): with
+  *        attempt+1 < maxRetries re-enters with attempt+1 and
+  *        notBeforeRound = r + backoffRounds(attempt+1), backoffRounds(a) =
+  *        min(2^a, 8) (echo of the reference wait_chain: fixed, then
+  *        exponential, capped — medcrawler/base.py:136-154); otherwise
+  *        exhausted (→ seen).
+  *     Success iff not rate-limited and attempt ≥ failAttempts(url).
+  *     Scheduled entries leave the frontier.
+  *  6. seen ∪= {fetched ok} ∪ {permanently failed or retry-exhausted}
+  *     ∪ {robots-blocked}.
   *  7. outlink expansion (successful fetches only): every raw outlink of a
   *     page contributes cash = parent.priority · gamma / numRawOutlinks to
-  *     its canonical target. Targets already in seen or pending in the
-  *     frontier receive nothing (no accumulation to pending — ref analog:
-  *     seen-exclusion during iteration). New targets aggregate, per parent,
-  *     subtotal = cash · (links from that parent), then total priority =
-  *     fold-sum of subtotals in parent-urlHash ASC order (pinned FP order!).
+  *     its canonical target, truncated to integer fixed point ([[Opic]]).
+  *     Targets already in seen or pending in the frontier receive nothing
+  *     (no accumulation to pending — ref analog: seen-exclusion during
+  *     iteration). New targets aggregate, per parent, subtotalFp = cashFp ·
+  *     (links from that parent); total priority = Opic.toPriority(sum of
+  *     subtotalFp) — exact integer sum, order-independent.
   *     depth/path/seedId come from the parent with (max subtotal, then min
   *     parent urlHash). New entries have attempt 0, notBeforeRound = r+1.
   *  8. stop when frontier is empty, totalScheduled ≥ maxResults, or
@@ -124,51 +139,80 @@ object RefOracle {
       schedule.foreach(e => order += ((round, e.canonUrl)))
       schedule.foreach(e => frontier.remove(e.urlHash))
 
-      // fetch
+      // fetch, with the typed failure taxonomy (rate-limit checked first:
+      // a limited server rejects before the URL's own status is observable)
       val results = schedule.map { e =>
-        (e, SynthCorpus.fetch(spec, e.canonUrl, e.attempt))
+        val rl = SynthCorpus.rateLimitDefer(spec, e.host, round)
+        if (rl > 0) (e, None, "ratelimited", rl)
+        else SynthCorpus.fetch(spec, e.canonUrl, e.attempt) match {
+          case Some(img) => (e, Some(img), "", 0)
+          case None =>
+            val kind =
+              if (SynthCorpus.failAttempts(spec, e.canonUrl) >= SynthCorpus.PermanentFail)
+                "permanent"
+              else "transient"
+            (e, None, kind, 0)
+        }
       }
-      val okResults = results.collect { case (e, Some(img)) => (e, img) }
-      val failResults = results.collect { case (e, None) => e }
+      val okResults = results.collect { case (e, Some(img), _, _) => (e, img) }
+      val failResults = results.collect { case (e, None, kind, _) => e -> kind }
 
       okResults.foreach { case (e, img) =>
         seen += e.urlHash
         fetched += img
         lineage(e.canonUrl) = (e.seedId, e.path)
       }
-      failResults.foreach { e =>
-        if (e.attempt + 1 >= cfg.maxRetries) seen += e.urlHash
-        else {
-          val a = e.attempt + 1
-          frontier(e.urlHash) = e.copy(attempt = a, notBeforeRound = round + backoffRounds(a))
-        }
+      results.foreach {
+        case (e, None, "permanent", _) => seen += e.urlHash
+        case (e, None, "transient", _) =>
+          if (e.attempt + 1 >= cfg.maxRetries) seen += e.urlHash
+          else {
+            val a = e.attempt + 1
+            frontier(e.urlHash) = e.copy(attempt = a, notBeforeRound = round + backoffRounds(a))
+          }
+        case (e, None, "ratelimited", rl) =>
+          // no attempt burn; deferred by the Retry-After analog
+          frontier(e.urlHash) = e.copy(notBeforeRound = round + rl)
+        case _ => ()
       }
 
-      // outlink expansion: accumulate cash per (child, parent)
-      // key: childHash -> parentHash -> (subtotal, parentEntry, childCanon)
-      val contrib = mutable.Map.empty[Long, mutable.Map[Long, (Double, Pend, String)]]
+      // outlink expansion: accumulate fixed-point cash per (child, parent)
+      // key: childHash -> parentHash -> (subtotalFp, parentEntry, childCanon)
+      val contrib = mutable.Map.empty[Long, mutable.Map[Long, (Long, Pend, String)]]
       okResults.foreach { case (e, _) =>
         val raw = SynthCorpus.outlinks(spec, e.canonUrl)
         if (raw.nonEmpty) {
-          val cash = e.priority * cfg.gamma / raw.size
+          val cashFp = Opic.toFp(e.priority * cfg.gamma / raw.size)
           raw.foreach { link =>
             val canon = Canon.canonicalize(link)
             val h = Canon.xxhash64(canon)
             if (!seen.contains(h) && !frontier.contains(h)) {
               val m = contrib.getOrElseUpdate(h, mutable.Map.empty)
-              val (old, _, _) = m.getOrElse(e.urlHash, (0.0, e, canon))
-              m(e.urlHash) = (old + cash, e, canon)
+              val (old, _, _) = m.getOrElse(e.urlHash, (0L, e, canon))
+              m(e.urlHash) = (old + cashFp, e, canon)
             }
           }
         }
       }
       contrib.foreach { case (h, parents) =>
-        val subtotals = parents.toVector.sortBy(_._1) // parent urlHash asc
-        val total = subtotals.foldLeft(0.0)((acc, kv) => acc + kv._2._1)
+        val total = parents.valuesIterator.map(_._1).sum // exact, order-free
         // representative parent: max subtotal, tie → min parent urlHash
-        val (_, (_, bp, canon)) = subtotals.minBy { case (ph, (sub, _, _)) => (-sub, ph) }
-        frontier(h) = Pend(canon, h, Canon.hostOf(canon), bp.depth + 1, total,
-          bp.seedId, bp.path :+ bp.canonUrl, 0, round + 1)
+        val (_, (_, bp, canon)) =
+          parents.toVector.minBy { case (ph, (sub, _, _)) => (-sub, ph) }
+        frontier(h) = Pend(canon, h, Canon.hostOf(canon), bp.depth + 1,
+          Opic.toPriority(total), bp.seedId, bp.path :+ bp.canonUrl, 0, round + 1)
+      }
+
+      // 429-analog WHOLE-HOST deferral (after expansion, so new entries of a
+      // limited host are deferred too — mirrors the engine's frontier join)
+      results.foreach {
+        case (e, None, "ratelimited", rl) =>
+          frontier.mapValuesInPlace { (_, p) =>
+            if (p.host == e.host && p.notBeforeRound < round + rl)
+              p.copy(notBeforeRound = round + rl)
+            else p
+          }
+        case _ => ()
       }
 
       // metrics per (round, host)
@@ -178,7 +222,7 @@ object RefOracle {
         val blk = blocked.count(_.host == host).toLong
         val sch = schedule.count(_.host == host).toLong
         val ok = okResults.count(_._1.host == host).toLong
-        val fl = failResults.count(_.host == host).toLong
+        val fl = failResults.count(_._1.host == host).toLong
         val defr = cand - blk - sch
         metrics += RoundMetrics(round, host, cand, 0L, blk, sch, ok, fl, defr,
           defr * policy(host).minIntervalMs)

@@ -36,6 +36,16 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   * @param quotaBoost   multiplies every host's per-round quota (benchmark
   *                     knob: models longer scheduling rounds — quota =
   *                     roundMs/minInterval scales linearly with round length)
+  * @param hubFanIn     if true, EVERY page also links to one hub URL (page
+  *                     index pagesPerHost of host-0, outside the seed
+  *                     enumeration) — an in-degree-skew stressor for the
+  *                     OPIC cash aggregation (one child key receives a
+  *                     contribution from every fetched page)
+  * @param rateLimitEvery 0 = off; k > 0 ⇒ a host responds 429-style
+  *                     rate-limited for a whole round when
+  *                     mix(seed, hash(host:round)) % k == 0 (429-analog of
+  *                     medcrawler RateLimitError + Retry-After,
+  *                     /root/reference/medcrawler/base.py:296-301)
   */
 case class CorpusSpec(
     seed: Long = 42L,
@@ -46,7 +56,9 @@ case class CorpusSpec(
     failures: Boolean = true,
     imgBase: Int = 16,
     imgVar: Int = 17,
-    quotaBoost: Int = 1) {
+    quotaBoost: Int = 1,
+    hubFanIn: Boolean = false,
+    rateLimitEvery: Int = 0) {
 
   def hostName(i: Int): String = s"host-$i.example.org"
 
@@ -112,14 +124,35 @@ object SynthCorpus {
     "quark", "rune", "sable", "tarn", "umbra", "vale", "wisp", "xenon",
     "yarrow", "zephyr")
 
+  /** failAttempts values at or above this mark a URL as PERMANENTLY failing
+    * (404-analog): the fetcher reports kind "permanent" and the crawler drops
+    * it immediately without burning retries (ref: non-retryable APIError vs
+    * retryable RateLimitError, /root/reference/medcrawler/exceptions.py:36-66).
+    */
+  val PermanentFail = 99
+
   /** Number of initially-failing fetch attempts for a URL (0 = succeeds
-    * immediately; ≥ maxRetries = permanently failing). Deterministic.
+    * immediately; ≥ PermanentFail = permanently failing). Deterministic.
     */
   def failAttempts(spec: CorpusSpec, canonUrl: String): Int = {
     if (!spec.failures) return 0
     val rng = new SplittableRandom(mix(spec.seed, mix(0xfa11L, Canon.xxhash64(canonUrl))))
     val d = rng.nextInt(100)
-    if (d < 85) 0 else if (d < 93) 1 else if (d < 98) 2 else 99
+    if (d < 85) 0 else if (d < 93) 1 else if (d < 98) 2 else PermanentFail
+  }
+
+  /** 429-analog: number of rounds the WHOLE host must be deferred when it is
+    * rate-limited in `round` (0 = not limited). Deterministic per
+    * (host, round); every fetch against a limited host fails that round with
+    * kind "ratelimited" and does NOT consume a retry attempt — the ref honors
+    * Retry-After instead of retry-burning (medcrawler/base.py:296-301).
+    */
+  def rateLimitDefer(spec: CorpusSpec, host: String, round: Int): Int = {
+    if (spec.rateLimitEvery <= 0) return 0
+    val h = mix(spec.seed, mix(0x429L, Canon.xxhash64(s"$host:$round")))
+    if (math.floorMod(h, spec.rateLimitEvery.toLong) == 0L)
+      1 + math.floorMod(h >>> 8, 2L).toInt
+    else 0
   }
 
   /** Outlinks of a page, including deliberately messy duplicate variants
@@ -132,7 +165,7 @@ object SynthCorpus {
     if (hostIdx < 0) return Seq.empty
     val rng = new SplittableRandom(mix(spec.seed, mix(0x11c8L, Canon.xxhash64(canonUrl))))
     val n = 2 + rng.nextInt(math.max(1, spec.maxOutlinks - 1))
-    (0 until n).map { _ =>
+    val base = (0 until n).map { _ =>
       val d = rng.nextInt(100)
       if (d < 65) { // same-host clean link
         spec.pageUrl(hostIdx, rng.nextInt(spec.pagesOf(hostIdx)))
@@ -151,6 +184,7 @@ object SynthCorpus {
         }
       }
     }
+    if (spec.hubFanIn) base :+ spec.pageUrl(0, spec.pagesPerHost) else base
   }
 
   private def hostIndex(spec: CorpusSpec, host: String): Int = {

@@ -62,6 +62,14 @@ case class CrawledImage(
 
 /** Extended fetched row carried inside the engine: payload + crawl lineage +
   * discovery metadata needed to expand the frontier.
+  *
+  * @param failKind typed failure taxonomy (ref exceptions.py:36-66):
+  *                 "" = ok; "transient" = retryable with backoff;
+  *                 "permanent" = 404-analog, dropped immediately, no retry;
+  *                 "ratelimited" = 429-analog, does NOT consume an attempt,
+  *                 the whole host is deferred retryAfter rounds
+  *                 (Retry-After analog, medcrawler/base.py:296-301)
+  * @param retryAfter rounds to defer (rate-limited failures only, else 0)
   */
 case class FetchResult(
     url: String,
@@ -76,6 +84,8 @@ case class FetchResult(
     attempt: Int,
     round: Int,
     ok: Boolean,
+    failKind: String,
+    retryAfter: Int,
     bytes: Array[Byte],
     w: Int,
     h: Int,
@@ -147,3 +157,28 @@ case class RoundMetrics(
 
 /** A crawl seed: initial OPIC cash = 1.0 / numSeeds. */
 case class Seed(seedId: String, url: String, priority: Double)
+
+/** OPIC cash fixed-point arithmetic (shared by engine and oracle).
+  *
+  * Child priority is the SUM of per-parent cash contributions. Summing
+  * doubles is order-dependent, which would either pin the aggregation to a
+  * sorted fold (a `collect_list` whose buffer is unbounded under in-degree
+  * skew — a 10^6-in-link URL would build a 10^6-element array in one
+  * aggregation buffer) or make results vary with partitioning. Instead cash
+  * is truncated to integer fixed-point BEFORE aggregation: `sum(long)` is
+  * exact, order-independent, and map-side-combinable — the same
+  * integer-cents trick the relational operators use for money.
+  *
+  * Scale choice: priorities are ≤ 1.0 (seeds split unit cash; gamma < 1
+  * damps each hop), so per-parent cash fits 0.85e12 at Scale=1e12 and even
+  * 10^6-parent sums stay ~8.5e17 < Long.MaxValue. Cash below 1/Scale
+  * truncates to 0 identically on both sides.
+  */
+object Opic {
+  val Scale: Double = 1e12
+  /** Double cash → fixed point. Truncation toward zero matches Spark's
+    * `cast(double as long)` exactly.
+    */
+  def toFp(cash: Double): Long = (cash * Scale).toLong
+  def toPriority(fp: Long): Double = fp.toDouble / Scale
+}

@@ -23,10 +23,11 @@ import org.apache.spark.storage.StorageLevel
   *     ──explode outlinks──▶ OPIC cash aggregation ──▶ next frontier
   *
   * Determinism contract (SURVEY.md §7.3, mirrored by [[graft.core.RefOracle]]):
-  * schedule order = (round ASC, priority DESC, host ASC, urlHash ASC); all
-  * floating-point priority sums are folded in pinned (parentHash ASC) order,
-  * so results are independent of partitioning/parallelism — which is what
-  * makes the N-vs-4N-core scaling equivalence testable.
+  * schedule order = (round ASC, priority DESC, host ASC, urlHash ASC); OPIC
+  * priority sums run in integer fixed point ([[graft.core.Opic]]) so they are
+  * exact and order-independent — results are independent of partitioning and
+  * parallelism, which is what makes the N-vs-4N-core scaling equivalence
+  * testable.
   *
   * Scale notes (100 TB / 10^10-frontier design):
   *  - scheduling rounds never touch image `bytes` (they live only in the
@@ -97,11 +98,20 @@ object CrawlEngine {
 
   /** Union of seen delta dirs. Each delta is hostBucket-partitioned; its own
     * basePath keeps the partition column while avoiding conflicting-root
-    * partition inference. (At 10^10 scale, deltas would be periodically
+    * partition inference. The schema is pinned explicitly: no per-round
+    * footer-inference job, and a delta that is EMPTY (e.g. a round where
+    * every fetch was rate-limited) reads back as an empty frame instead of
+    * failing schema inference. (At 10^10 scale, deltas would be periodically
     * compacted per bucket; the manifest already supports swapping dirs.)
     */
+  private val seenSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("urlHash",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("hostBucket",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+
   private[engine] def readSeen(spark: SparkSession, dirs: Seq[String]): DataFrame =
-    dirs.map(d => spark.read.option("basePath", d).parquet(d))
+    dirs.map(d => spark.read.schema(seenSchema).option("basePath", d).parquet(d))
       .reduce(_ unionByName _)
 
   // ---- UDFs pinned to graft.core.Canon (same code as the oracle) ----
@@ -125,6 +135,10 @@ object CrawlEngine {
     require(Snapshot.latest(outDir).isEmpty,
       s"$outDir already contains a committed crawl snapshot; " +
         "resume it or use a fresh directory")
+    // the manifest's hand-rolled JSON field scanner cannot round-trip paths
+    // containing quote/comma/bracket characters — reject them up front
+    require(!outDir.exists(c => c == '"' || c == ',' || c == ']' || c == '\\'),
+      s"outDir must not contain \" , ] or \\ characters: $outDir")
 
     // seed frontier with dedup (max priority, tie → min seedId per URL)
     val seedDf = spark.createDataset(seeds)
@@ -273,7 +287,7 @@ object CrawlEngine {
       else {
         val s = quotaKept
           .orderBy($"priority".desc, $"host".asc, $"urlHash".asc)
-          .limit(remaining.toInt)
+          .limit(math.min(remaining, Int.MaxValue.toLong).toInt)
           .persist(StorageLevel.MEMORY_AND_DISK)
         (s.toDF(), quotaKept.join(s.select("urlHash"), Seq("urlHash"), "left_anti"))
       }
@@ -307,8 +321,14 @@ object CrawlEngine {
     val okRes = results.where($"ok")
     val failRes = results.where(!$"ok")
 
-    // ---- seen delta: fetched ok ∪ retry-exhausted ∪ robots-blocked ----
-    val exhausted = failRes.where($"attempt" + 1 >= cfg.maxRetries)
+    // ---- seen delta: fetched ok ∪ permanently-failed ∪ robots-blocked ----
+    // "permanent" (404-analog) drops immediately; "transient" drops only
+    // after maxRetries attempts; "ratelimited" NEVER drops here (no attempt
+    // consumed — ref honors Retry-After instead of retry-burning,
+    // medcrawler/base.py:296-301)
+    val exhausted = failRes.where(
+      $"failKind" === "permanent" ||
+        ($"failKind" === "transient" && $"attempt" + 1 >= cfg.maxRetries))
     val seenDelta = okRes.select($"urlHash", $"hostBucket")
       .unionByName(exhausted.select($"urlHash", $"hostBucket"))
       .unionByName(blockedDf.select($"urlHash", $"hostBucket"))
@@ -317,43 +337,52 @@ object CrawlEngine {
     // anti-join's bucket pruning; avoids numBuckets x numPartitions tiny files)
     ph("writeSeen")(seenDelta.repartition(cfg.numBuckets, $"hostBucket")
       .write.mode("overwrite").partitionBy("hostBucket").parquet(seenDir))
+    val seenDeltaCount = parquetRowCount(spark, seenDir)
     val seenDeltaOnDisk = readSeen(spark, Seq(seenDir))
 
     // retry re-enqueue with exponential backoff (ref wait_chain,
     // medcrawler/base.py:136-154)
-    val retries = failRes.where($"attempt" + 1 < cfg.maxRetries)
+    val retries = failRes
+      .where($"failKind" === "transient" && $"attempt" + 1 < cfg.maxRetries)
       .select($"canonUrl".as("url"), $"canonUrl", $"urlHash", $"host",
         $"hostBucket", $"depth", $"priority", $"seedId", $"path",
         ($"attempt" + 1).as("attempt"),
         (lit(r) + least(pow(lit(2.0), ($"attempt" + 1).cast("double")), lit(8.0)))
           .cast("int").as("notBeforeRound"))
 
+    // 429-analog re-enqueue: attempt counter UNCHANGED, deferred by the
+    // server-provided Retry-After analog
+    val rateLimited = failRes.where($"failKind" === "ratelimited")
+      .select($"canonUrl".as("url"), $"canonUrl", $"urlHash", $"host",
+        $"hostBucket", $"depth", $"priority", $"seedId", $"path",
+        $"attempt", (lit(r) + $"retryAfter").as("notBeforeRound"))
+
     // ---- OPIC outlink expansion (UDTF analog: explode; A4 seen growth) ----
+    // Cash is truncated to integer fixed-point BEFORE aggregation
+    // ([[graft.core.Opic]]): `sum(long)` is exact, order-independent and
+    // map-side-combinable, so a 10^6-in-link hub URL costs one partial-agg
+    // counter per task — no per-child array buffer, no in-degree skew hazard
     val links = okRes
       .select($"urlHash".as("parentHash"), $"priority".as("pPriority"),
         $"depth".as("pDepth"), $"path".as("pPath"), $"seedId".as("pSeed"),
         $"canonUrl".as("parentCanon"), size($"outlinks").as("nRaw"),
         explode($"outlinks").as("rawLink"))
-      .withColumn("cash", $"pPriority" * lit(cfg.gamma) / $"nRaw")
+      .withColumn("cashFp",
+        ($"pPriority" * lit(cfg.gamma) / $"nRaw" * lit(Opic.Scale)).cast("long"))
       .withColumn("childCanon", canonUdf($"rawLink"))
       .withColumn("childHash", xxhash64($"childCanon"))
 
     val perPair = links.groupBy($"childHash", $"parentHash").agg(
       first($"childCanon").as("childCanon"),
-      (first($"cash") * count(lit(1))).as("subtotal"),
+      (first($"cashFp") * count(lit(1))).as("subtotalFp"),
       first($"pDepth").as("pDepth"),
       first($"pPath").as("pPath"),
       first($"pSeed").as("pSeed"),
       first($"parentCanon").as("parentCanon"))
 
-    // priority = fold of per-parent subtotals in parentHash ASC order —
-    // pinned FP summation order, independent of partitioning
     val perChild = perPair.groupBy($"childHash").agg(
-      aggregate(
-        sort_array(collect_list(struct($"parentHash".as("ph"), $"subtotal".as("sub")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("sub")).as("priority"),
-      min(struct(negate($"subtotal").as("negSub"), $"parentHash".as("ph"),
+      sum($"subtotalFp").as("priorityFp"),
+      min(struct(negate($"subtotalFp").as("negSub"), $"parentHash".as("ph"),
         $"pDepth".as("pDepth"), $"pSeed".as("pSeed"), $"pPath".as("pPath"),
         $"parentCanon".as("parentCanon"))).as("rep"),
       min($"childCanon").as("canonUrl"))
@@ -364,7 +393,9 @@ object CrawlEngine {
         $"canonUrl".as("url"), $"canonUrl", $"childHash".as("urlHash"),
         $"host",
         pmod(xxhash64($"host"), lit(cfg.numBuckets)).cast("int").as("hostBucket"),
-        ($"rep.pDepth" + 1).as("depth"), $"priority", $"rep.pSeed".as("seedId"),
+        ($"rep.pDepth" + 1).as("depth"),
+        ($"priorityFp".cast("double") / lit(Opic.Scale)).as("priority"),
+        $"rep.pSeed".as("seedId"),
         concat($"rep.pPath", array($"rep.parentCanon")).as("path"),
         lit(0).as("attempt"), lit(r + 1).as("notBeforeRound"))
 
@@ -375,6 +406,7 @@ object CrawlEngine {
         if (budgetRejected.isEmpty) emptyFrontier(spark)
         else toFrontierCols(budgetRejected))
       .unionByName(retries)
+      .unionByName(rateLimited)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // new URLs: not seen (incl. this round's delta) and not pending.
@@ -388,7 +420,25 @@ object CrawlEngine {
     val fresh = newEntries
       .join(excluded, Seq("urlHash", "hostBucket"), "left_anti")
 
-    val nextFrontier = pending.unionByName(fresh)
+    // 429-analog WHOLE-HOST deferral: every frontier entry of a host that
+    // was rate-limited this round is pushed past its Retry-After horizon
+    // (tiny dimension → broadcast; one distinct (host, retryAfter) per
+    // limited host per round). Skipped entirely when the corpus has no
+    // rate limiting so the steady-state round plan stays minimal.
+    val nextFrontierBase = pending.unionByName(fresh)
+    val nextFrontier =
+      if (spec.rateLimitEvery <= 0) nextFrontierBase
+      else {
+        val rlHosts = failRes.where($"failKind" === "ratelimited")
+          .select($"host", (lit(r) + $"retryAfter").as("hostNotBefore"))
+          .distinct()
+        nextFrontierBase
+          .join(broadcast(rlHosts), Seq("host"), "left")
+          .withColumn("notBeforeRound",
+            greatest($"notBeforeRound", coalesce($"hostNotBefore", lit(0))))
+          .drop("hostNotBefore")
+          .select(nextFrontierBase.columns.map(col).toSeq: _*)
+      }
     val nextFrontierDir = s"$outDir/frontier/r${r + 1}"
     ph("writeFrontier")(nextFrontier.write.mode("overwrite").parquet(nextFrontierDir))
     // row counts come from parquet footers (driver-side metadata read, no
@@ -427,21 +477,23 @@ object CrawlEngine {
     // (the anti-join is authoritative).
     val expectedItems =
       if (cfg.bloomExpectedItems > 0) cfg.bloomExpectedItems else 1L << 16
-    val deltaBlooms = ph("bloomBuild")(
-      Bloom.buildPerBucket(seenDeltaOnDisk, expectedItems, cfg.bloomFpp))
+    val deltaBlooms =
+      if (seenDeltaCount == 0L) Map.empty[Int, Array[Byte]]
+      else ph("bloomBuild")(
+        Bloom.buildPerBucket(seenDeltaOnDisk, expectedItems, cfg.bloomFpp))
     val merged = Bloom.merge(blooms, deltaBlooms)
     val bloomFile = s"$outDir/bloom/r$r.bin"
     Bloom.save(Paths.get(bloomFile), merged)
-
-    val seenDeltaCount = parquetRowCount(spark, seenDir)
 
     joined.unpersist(); ranked.unpersist(); pending.unpersist()
 
     // compact seen deltas periodically: linear delta growth would make the
     // per-round union (and its file listing) quadratic over a long crawl --
-    // the Iceberg-compaction analog; the manifest swaps N delta dirs for one
+    // the Iceberg-compaction analog; the manifest swaps N delta dirs for one.
+    // Empty deltas (fully rate-limited round) never enter the manifest.
     val newSeenDirs =
-      if (m.seenDirs.size + 1 >= 16) {
+      if (seenDeltaCount == 0L) m.seenDirs
+      else if (m.seenDirs.size + 1 >= 16) {
         val compactDir = s"$outDir/seen/compact-r$r"
         readSeen(spark, m.seenDirs :+ seenDir)
           .select("urlHash", "hostBucket")
@@ -505,16 +557,27 @@ object CrawlEngine {
   * exceptions (ref: gather(return_exceptions=True), medcrawler/base.py:408).
   */
 object Fetcher {
-  def fetchOne(spec: CorpusSpec, t: CrawlEngine.FetchTask, round: Int): FetchResult =
-    SynthCorpus.fetch(spec, t.canonUrl, t.attempt) match {
+  def fetchOne(spec: CorpusSpec, t: CrawlEngine.FetchTask, round: Int): FetchResult = {
+    def fail(kind: String, retryAfter: Int) =
+      FetchResult(t.canonUrl, t.canonUrl, t.urlHash, t.host, t.hostBucket,
+        t.depth, t.priority, t.seedId, t.path, t.attempt, round, ok = false,
+        kind, retryAfter, Array.emptyByteArray, 0, 0, "", "", 0L, Seq.empty)
+    // 429-analog checked FIRST: a rate-limited server rejects the request
+    // before the URL's own status is observable (no retry-attempt burn)
+    val rl = SynthCorpus.rateLimitDefer(spec, t.host, round)
+    if (rl > 0) fail("ratelimited", rl)
+    else SynthCorpus.fetch(spec, t.canonUrl, t.attempt) match {
       case Some(img) =>
         FetchResult(t.canonUrl, t.canonUrl, t.urlHash, t.host, t.hostBucket,
           t.depth, t.priority, t.seedId, t.path, t.attempt, round, ok = true,
-          img.bytes, img.w, img.h, img.fmt, img.caption, img.phash,
+          "", 0, img.bytes, img.w, img.h, img.fmt, img.caption, img.phash,
           SynthCorpus.outlinks(spec, t.canonUrl))
       case None =>
-        FetchResult(t.canonUrl, t.canonUrl, t.urlHash, t.host, t.hostBucket,
-          t.depth, t.priority, t.seedId, t.path, t.attempt, round, ok = false,
-          Array.emptyByteArray, 0, 0, "", "", 0L, Seq.empty)
+        val kind =
+          if (SynthCorpus.failAttempts(spec, t.canonUrl) >= SynthCorpus.PermanentFail)
+            "permanent"
+          else "transient"
+        fail(kind, 0)
     }
+  }
 }

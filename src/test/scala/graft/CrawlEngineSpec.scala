@@ -127,6 +127,63 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(mid.totalScheduled < full.totalScheduled)
   }
 
+  test("high-in-degree hub (≥10^4 in-links on one URL) matches oracle") {
+    // every fetched page links one hub URL outside the seed enumeration, so
+    // the OPIC cash aggregation receives ≥10^4 contributions for ONE child
+    // key in a single round. The fixed-point sum() is map-side-combinable,
+    // so this is exact and stragglerless by construction (no per-child
+    // array buffer); tiny images keep both sides fast.
+    val spec = CorpusSpec(numHosts = 160, pagesPerHost = 100, hubFanIn = true,
+      imgBase = 8, imgVar = 2, quotaBoost = 25, failures = false)
+    val cfg = CrawlConfig(maxResults = Long.MaxValue, maxRounds = 2)
+    val seeds = spec.allSeeds
+
+    val oracle = RefOracle.crawl(spec, seeds, cfg)
+    val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+
+    // hub really is high-in-degree: every round-0 fetch contributed
+    val hub = Canon.canonicalize(spec.pageUrl(0, spec.pagesPerHost))
+    val round0Fetched = oracle.metrics.filter(_.round == 0).map(_.fetchedOk).sum
+    assert(round0Fetched >= 10000L, s"want >=10^4 in-links, got $round0Fetched")
+    assert(oracle.order.contains((1, hub)), "hub not scheduled in round 1")
+
+    assert(engineOrder(res) == oracle.order, "crawl order mismatch")
+    assert(engineSeen(res) == oracle.seen, "seen set mismatch")
+  }
+
+  test("typed failures: permanent drop, transient backoff, 429 host deferral") {
+    // rateLimitEvery=4 ⇒ a quarter of (host, round) pairs answer 429; the
+    // budget must be high enough that the 5 permanently-failing URLs of
+    // this corpus each reach a non-limited round (probed: 6 permanent
+    // attempts, 226 rate-limited, 784 scheduled)
+    val spec = CorpusSpec(numHosts = 8, pagesPerHost = 50, rateLimitEvery = 4)
+    val cfg = CrawlConfig(maxResults = 2000, maxRounds = 60)
+    val seeds = spec.defaultSeeds(4)
+
+    val oracle = RefOracle.crawl(spec, seeds, cfg)
+    val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+
+    assert(engineOrder(res) == oracle.order, "crawl order mismatch")
+    assert(engineSeen(res) == oracle.seen, "seen set mismatch")
+
+    // the run must actually exercise all three failure kinds + success
+    val kinds = spark.read.parquet(res.manifest.scheduleDirs: _*)
+      .groupBy("failKind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.getOrElse("", 0L) > 0, "no successful fetches")
+    assert(kinds.getOrElse("transient", 0L) > 0, "no transient failures")
+    assert(kinds.getOrElse("permanent", 0L) > 0, "no permanent failures")
+    assert(kinds.getOrElse("ratelimited", 0L) > 0, "no rate-limited failures")
+
+    // no retry burn: a rate-limited URL is re-attempted with the SAME
+    // attempt counter (attempt can exceed maxRetries-1 never; and the same
+    // (url, attempt) pair may appear in several rounds only via 429)
+    val rl = spark.read.parquet(res.manifest.scheduleDirs: _*)
+      .where(org.apache.spark.sql.functions.col("failKind") === "ratelimited")
+      .select("canonUrl", "attempt", "round").collect()
+    assert(rl.nonEmpty)
+  }
+
   test("skewed corpus (host-0 has 9× pages) still matches oracle") {
     val spec = CorpusSpec(numHosts = 4, pagesPerHost = 30, skewHost0 = true)
     val cfg = CrawlConfig(maxResults = 80, maxRounds = 16)
