@@ -263,25 +263,37 @@ object CrawlEngine {
     val blockedDf = joined.where($"blocked")
 
     // ---- per-host fetch quota (§2.5 window rank; ref batch caps 3/5) ----
+    // Salted two-phase top-k: rank within (host, urlHash%S) and keep the
+    // per-salt top-quota, then re-rank the survivors per host. A true
+    // per-host top-quota row is always within its salt's top-quota, so the
+    // result is IDENTICAL to a single per-host window — but no task ever
+    // sorts more than 1/S of a mega-host (phase 1) or S×quota rows
+    // (phase 2). A 10^8-candidate host would serialize one window task
+    // under the naive plan; here it is bounded.
+    val quotaSalt = 16
+    val w1 = Window.partitionBy($"host", pmod($"urlHash", lit(quotaSalt)))
+      .orderBy($"priority".desc, $"urlHash".asc)
     val wq = Window.partitionBy($"host")
       .orderBy($"priority".desc, $"urlHash".asc)
-    val ranked = joined.where(!$"blocked")
+    val candidates = joined.where(!$"blocked")
+      .withColumn("rk1", row_number().over(w1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = candidates.where($"rk1" <= $"quotaPerRound")
       .withColumn("rk", row_number().over(wq))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val quotaKept = ranked.where($"rk" <= $"quotaPerRound")
-    val quotaRejected = ranked.where($"rk" > $"quotaPerRound")
+    val quotaRejected = candidates.where($"rk1" > $"quotaPerRound").drop("rk1")
+      .unionByName(ranked.where($"rk" > $"quotaPerRound").drop("rk1", "rk"))
 
-    // ---- global budget (L1): keptCount comes from a small per-host
-    // aggregate over the cached candidates (counting does not need the
-    // window; the window runs once, inside the fetch pass) ----
+    // ---- global budget (L1): keptCount is a scalar two-level aggregate —
+    // O(1) driver memory (the old per-host collect was O(hosts): fine at
+    // 10^3 hosts, not at web scale) ----
     val remaining = math.max(0L, cfg.maxResults - m.totalScheduled)
-    val hostStats = ph("hostStats")(
-      joined.groupBy($"host", $"blocked", $"quotaPerRound").count().collect()
-        .map(row => (row.getString(0), row.getBoolean(1)) ->
-          ((row.getInt(2), row.getLong(3)))).toMap)
-    val keptCount = hostStats.collect {
-      case ((_, false), (quota, n)) => math.min(quota.toLong, n)
-    }.sum
+    val keptCount = ph("keptCount")(
+      joined.where(!$"blocked")
+        .groupBy($"host", $"quotaPerRound").agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(least($"quotaPerRound".cast("long"), $"n")), lit(0L)))
+        .as[Long].head())
     val (sched, budgetRejected) =
       if (keptCount <= remaining) (quotaKept, spark.emptyDataFrame)
       else {
@@ -445,29 +457,38 @@ object CrawlEngine {
     // Spark job) -- the same statistics an Iceberg manifest would carry
     val nextFrontierCount = parquetRowCount(spark, nextFrontierDir)
 
-    // ---- metrics (A2 analog + north-rule politeness-wait): per-host
-    // candidate/robots stats were already collected (hostStats); one more
-    // small aggregate collects fetch outcomes; the metrics table is written
-    // from driver-local rows (one tiny task)
+    // ---- metrics (A2 analog + north-rule politeness-wait): fully
+    // distributed — a per-host aggregate over the cached candidates joined
+    // with a per-host fetch-outcome aggregate, written without ever
+    // materializing O(hosts) rows on the driver (web scale: 10^7+ hosts).
+    // Fetch-outcome hosts are always a subset of eligible hosts, so a left
+    // join is exact.
     val metricsDir = s"$outDir/metrics/r$r"
     var fetchedOkCount = 0L
     ph("metrics") {
-      val outcome = results.groupBy($"host", $"ok").count().collect()
-        .map(row => (row.getString(0), row.getBoolean(1)) -> row.getLong(2)).toMap
-      fetchedOkCount = outcome.collect { case ((_, true), n) => n }.sum
-      val intervals = spec.hostPolicies.map(p => p.host -> p.minIntervalMs).toMap
-      val hosts = (hostStats.keySet.map(_._1) ++ outcome.keySet.map(_._1)).toVector.sorted
-      val rows = hosts.map { host =>
-        val cand = hostStats.getOrElse((host, false), (0, 0L))._2 +
-          hostStats.getOrElse((host, true), (0, 0L))._2
-        val blk = hostStats.getOrElse((host, true), (0, 0L))._2
-        val ok = outcome.getOrElse((host, true), 0L)
-        val fl = outcome.getOrElse((host, false), 0L)
-        val defr = cand - blk - ok - fl
-        RoundMetrics(r, host, cand, 0L, blk, ok + fl, ok, fl, defr,
-          defr * intervals.getOrElse(host, 340))
-      }
-      spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(metricsDir)
+      val candStats = joined.groupBy($"host").agg(
+        count(lit(1)).as("candidates"),
+        sum(when($"blocked", 1L).otherwise(0L)).as("robotsBlocked"),
+        first($"minIntervalMs").as("minIntervalMs"))
+      val outcome = results.groupBy($"host").agg(
+        sum(when($"ok", 1L).otherwise(0L)).as("okN"),
+        sum(when(!$"ok", 1L).otherwise(0L)).as("flN"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      candStats.join(outcome, Seq("host"), "left")
+        .select(lit(r).as("round"), $"host", $"candidates", $"minIntervalMs",
+          lit(0L).as("seenDropped"), $"robotsBlocked",
+          (coalesce($"okN", lit(0L)) + coalesce($"flN", lit(0L))).as("scheduled"),
+          coalesce($"okN", lit(0L)).as("fetchedOk"),
+          coalesce($"flN", lit(0L)).as("failed"))
+        .withColumn("deferred",
+          $"candidates" - $"robotsBlocked" - $"scheduled")
+        .withColumn("politenessWaitMs",
+          $"deferred" * $"minIntervalMs".cast("long"))
+        .drop("minIntervalMs")
+        .write.mode("overwrite").parquet(metricsDir)
+      fetchedOkCount = outcome
+        .agg(coalesce(sum($"okN"), lit(0L))).as[Long].head()
+      outcome.unpersist()
     }
 
     // ---- bloom merge + snapshot commit ----
@@ -485,7 +506,8 @@ object CrawlEngine {
     val bloomFile = s"$outDir/bloom/r$r.bin"
     Bloom.save(Paths.get(bloomFile), merged)
 
-    joined.unpersist(); ranked.unpersist(); pending.unpersist()
+    joined.unpersist(); candidates.unpersist(); ranked.unpersist()
+    pending.unpersist()
 
     // compact seen deltas periodically: linear delta growth would make the
     // per-round union (and its file listing) quadratic over a long crawl --
