@@ -119,7 +119,12 @@ case class HostPolicy(
   * @param maxRounds    hard stop on scheduling rounds
   * @param maxRetries   drop a URL after this many failed attempts (ref 5)
   * @param gamma        OPIC depth damping factor for child priority
-  * @param numBuckets   host-hash shard count for seen/frontier state
+  * @param numBuckets   host-hash shard count for seen/frontier state and the
+  *                     per-bucket Bloom files. Size so ONE bucket's filter
+  *                     stays executor-loadable: at the 10^10-URL design
+  *                     point and 3% fpp the total filter state is ~9 GB, so
+  *                     production runs want 4096+ buckets (~2 MB each); the
+  *                     default suits 10^8-scale runs, tests pin 8-16
   * @param roundMs      nominal wall-clock length of one scheduling round,
   *                     used to derive per-host quotas from minIntervalMs
   * @param bloomExpectedItems per-round expected items for the per-bucket
@@ -134,7 +139,7 @@ case class CrawlConfig(
     maxRounds: Int = 64,
     maxRetries: Int = 5,
     gamma: Double = 0.85,
-    numBuckets: Int = 16,
+    numBuckets: Int = 64,
     roundMs: Int = 1000,
     bloomExpectedItems: Long = 0L,
     bloomFpp: Double = 0.03)

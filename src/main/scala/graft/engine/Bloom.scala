@@ -1,8 +1,9 @@
 package graft.engine
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -32,21 +33,6 @@ object Bloom {
       BloomBuildAgg(bridge.toExpression(col), expectedItems, fpp)
         .toAggregateExpression())
 
-  /** Build bucket → serialized-bloom map from a seen-delta DataFrame with
-    * columns (urlHash, hostBucket). Distributed aggregation; only the tiny
-    * per-bucket filters reach the driver.
-    */
-  def buildPerBucket(
-      df: DataFrame,
-      expectedItems: Long,
-      fpp: Double): Map[Int, Array[Byte]] = {
-    df.groupBy(col("hostBucket"))
-      .agg(bloomAgg(col("urlHash"), expectedItems, fpp).as("bloom"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
-      .toMap
-  }
-
   def deserialize(bytes: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bytes))
 
@@ -56,80 +42,109 @@ object Bloom {
     bos.toByteArray
   }
 
-  /** Merge a new per-bucket delta into an existing per-bucket map. */
-  def merge(
-      old: Map[Int, Array[Byte]],
-      delta: Map[Int, Array[Byte]]): Map[Int, Array[Byte]] = {
-    val keys = old.keySet ++ delta.keySet
-    keys.map { k =>
-      (old.get(k), delta.get(k)) match {
-        case (Some(a), Some(b)) =>
-          val bf = deserialize(a)
-          bf.mergeInPlace(deserialize(b))
-          k -> serialize(bf)
-        case (Some(a), None) => k -> a
-        case (None, Some(b)) => k -> b
-        case _               => throw new IllegalStateException
+  def bucketPath(dir: String, bucket: Int): Path =
+    Paths.get(dir, s"b$bucket.bloom")
+
+  /** Create an empty bloom-state directory (fresh crawl, round 0). */
+  def init(dir: String): Unit = Files.createDirectories(Paths.get(dir))
+
+  /** Distributed per-bucket delta merge. The per-bucket delta filters come
+    * out of the [[BloomBuildAgg]] aggregation; each aggregation OUTPUT task
+    * then merges its bucket's delta with the previous round's bucket FILE
+    * and writes the new bucket file directly (tmp + atomic rename) — no
+    * filter bytes ever pass through the driver and no executor holds more
+    * than the buckets of its own partition. Buckets untouched by the delta
+    * are hard-linked from the previous round's directory (an O(numBuckets)
+    * driver-side metadata op, no data copied — the Iceberg
+    * "unchanged files carry over by reference" analog; on an HDFS-backed
+    * deployment the link becomes a manifest entry instead).
+    *
+    * expectedItems must be CONSTANT over the crawl: sketch Bloom filters
+    * merge only at identical bit size.
+    */
+  def mergeAndSave(
+      seenDelta: DataFrame,
+      prevDir: Option[String],
+      newDir: String,
+      expectedItems: Long,
+      fpp: Double): Unit = {
+    Files.createDirectories(Paths.get(newDir))
+    val spark = seenDelta.sparkSession
+    import spark.implicits._
+    val prev = prevDir // local val: the closure must not capture a Manifest
+    val changed = seenDelta
+      .groupBy(col("hostBucket"))
+      .agg(bloomAgg(col("urlHash"), expectedItems, fpp).as("bloom"))
+      .as[(Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (bucket, deltaBytes) =>
+          val merged = prev.map(d => bucketPath(d, bucket))
+            .filter(Files.exists(_)) match {
+            case Some(p) =>
+              val bf = deserialize(Files.readAllBytes(p))
+              bf.mergeInPlace(deserialize(deltaBytes))
+              serialize(bf)
+            case None => deltaBytes
+          }
+          val target = bucketPath(newDir, bucket)
+          val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+          Files.write(tmp, merged)
+          Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          bucket
+        }
       }
-    }.toMap
+      .collect()
+      .toSet
+    prevDir.foreach { d =>
+      val dp = Paths.get(d)
+      if (Files.isDirectory(dp)) {
+        val it = Files.list(dp).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("b") && name.endsWith(".bloom")) {
+            val bucket = name.stripPrefix("b").stripSuffix(".bloom").toInt
+            if (!changed.contains(bucket))
+              Files.createLink(bucketPath(newDir, bucket), p)
+          }
+        }
+      }
+    }
   }
 
-  /** Broadcast the per-bucket blooms and return a `(hostBucket, urlHash) →
-    * mightContain` Column. Buckets with no bloom yet ⇒ nothing seen ⇒ false.
+  /** `(hostBucket, urlHash) → mightContain` probe over a bloom-state dir.
+    * Each executor lazily loads ONLY the bucket files its partitions
+    * actually probe (cached per (dir, bucket) — a stable key, since a
+    * bloom dir is immutable once committed). Buckets with no file yet ⇒
+    * nothing seen ⇒ false. No driver-side map, no full broadcast: at
+    * 10^10 keys the total filter state is ~9 GB, which must never ship to
+    * every executor every round.
     */
-  def mightContainCol(
-      spark: SparkSession,
-      blooms: Map[Int, Array[Byte]])(bucket: Column, hash: Column): Column = {
-    val bc = spark.sparkContext.broadcast(blooms)
+  def mightContainCol(dir: String)(bucket: Column, hash: Column): Column = {
     val f = udf { (b: Int, h: Long) =>
-      // deserialize once per executor per bucket via a small local cache
-      BloomCache.get(bc.value, b).exists(_.mightContainLong(h))
+      BloomCache.get(dir, b).exists(_.mightContainLong(h))
     }
     f(bucket, hash)
   }
-
-  /** Persist the bloom state for snapshot resume (write-tmp-then-rename). */
-  def save(path: java.nio.file.Path, blooms: Map[Int, Array[Byte]]): Unit = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(blooms.size)
-    blooms.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      out.writeInt(k); out.writeInt(v.length); out.write(v)
-    }
-    out.close()
-    java.nio.file.Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    java.nio.file.Files.write(tmp, bos.toByteArray)
-    java.nio.file.Files.move(tmp, path,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  def load(path: java.nio.file.Path): Map[Int, Array[Byte]] = {
-    val in = new DataInputStream(new ByteArrayInputStream(java.nio.file.Files.readAllBytes(path)))
-    val n = in.readInt()
-    (0 until n).map { _ =>
-      val k = in.readInt()
-      val len = in.readInt()
-      val b = new Array[Byte](len)
-      in.readFully(b)
-      k -> b
-    }.toMap
-  }
 }
 
-/** Executor-local deserialization cache for broadcast blooms (avoids
-  * re-parsing the filter for every row).
+/** Executor-local bucket-file cache for bloom probes: deserialize each
+  * probed bucket once per executor, keyed by the immutable (dir, bucket)
+  * identity of the committed bloom state.
   */
 object BloomCache {
   @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Option[BloomFilter]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[BloomFilter]]()
 
-  def get(blooms: Map[Int, Array[Byte]], bucket: Int): Option[BloomFilter] = {
-    val key = (System.identityHashCode(blooms), bucket)
+  def get(dir: String, bucket: Int): Option[BloomFilter] = {
+    val key = (dir, bucket)
     var v = cache.get(key)
     if (v == null) {
-      v = blooms.get(bucket).map(Bloom.deserialize)
+      val p = Bloom.bucketPath(dir, bucket)
+      v = if (Files.exists(p)) Some(Bloom.deserialize(Files.readAllBytes(p)))
+          else None
       cache.put(key, v)
       if (cache.size() > 4096) cache.clear()
     }

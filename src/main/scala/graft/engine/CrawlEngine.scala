@@ -162,10 +162,10 @@ object CrawlEngine {
     if (sys.env.contains("GRAFT_VERBOSE"))
       println(f"[init] seed frontier write: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     val fCount = parquetRowCount(spark, fDir)
-    val bloomFile = s"$outDir/bloom/r0.bin"
-    Bloom.save(Paths.get(bloomFile), Map.empty)
+    val bloomDir = s"$outDir/bloom/r0"
+    Bloom.init(bloomDir)
     val m0 = Snapshot.Manifest(0, -1, -1, 0L, fDir, Vector.empty, Vector.empty,
-      Vector.empty, Vector.empty, bloomFile, fCount, 0L, 0L, done = fCount == 0)
+      Vector.empty, Vector.empty, bloomDir, fCount, 0L, 0L, done = fCount == 0)
     Snapshot.commit(outDir, m0)
     loop(spark, spec, cfg, outDir, m0)
   }
@@ -234,11 +234,10 @@ object CrawlEngine {
 
     // ---- seen exclusion: Bloom prefilter + authoritative anti-join ----
     // (P5 analog: `if pmid not in old_item_ids`, medcrawler/pubmed.py:185-187)
-    val blooms = Bloom.load(Paths.get(m.bloomFile))
     val unseen: DataFrame =
       if (m.seenDirs.isEmpty) eligible
       else {
-        val mc = Bloom.mightContainCol(spark, blooms)($"hostBucket", $"urlHash")
+        val mc = Bloom.mightContainCol(m.bloomDir)($"hostBucket", $"urlHash")
         val tagged = eligible.withColumn("maybeSeen", mc)
         val clean = tagged.where(!$"maybeSeen").drop("maybeSeen")
         val seenDf = readSeen(spark, m.seenDirs)
@@ -495,16 +494,20 @@ object CrawlEngine {
     // expectedItems must be CONSTANT across rounds: sketch bloom filters can
     // only merge at identical bit size. Sized for the crawl horizon per
     // bucket; saturation degrades the prefilter's fpp, never correctness
-    // (the anti-join is authoritative).
+    // (the anti-join is authoritative). The merge is distributed and
+    // partition-local: delta filters merge into per-bucket FILES on the
+    // executors; the driver never holds filter bytes. An empty delta reuses
+    // the previous round's bloom dir unchanged.
     val expectedItems =
       if (cfg.bloomExpectedItems > 0) cfg.bloomExpectedItems else 1L << 16
-    val deltaBlooms =
-      if (seenDeltaCount == 0L) Map.empty[Int, Array[Byte]]
-      else ph("bloomBuild")(
-        Bloom.buildPerBucket(seenDeltaOnDisk, expectedItems, cfg.bloomFpp))
-    val merged = Bloom.merge(blooms, deltaBlooms)
-    val bloomFile = s"$outDir/bloom/r$r.bin"
-    Bloom.save(Paths.get(bloomFile), merged)
+    val bloomDir =
+      if (seenDeltaCount == 0L) m.bloomDir
+      else {
+        val d = s"$outDir/bloom/r$r"
+        ph("bloomMerge")(Bloom.mergeAndSave(seenDeltaOnDisk,
+          Some(m.bloomDir), d, expectedItems, cfg.bloomFpp))
+        d
+      }
 
     joined.unpersist(); candidates.unpersist(); ranked.unpersist()
     pending.unpersist()
@@ -535,7 +538,7 @@ object CrawlEngine {
       fetchedDirs = if (fetchedOkCount > 0) m.fetchedDirs :+ attemptsDir else m.fetchedDirs,
       scheduleDirs = if (schedCount > 0) m.scheduleDirs :+ attemptsDir else m.scheduleDirs,
       metricsDirs = m.metricsDirs :+ metricsDir,
-      bloomFile = bloomFile,
+      bloomDir = bloomDir,
       frontierCount = nextFrontierCount,
       seenCount = m.seenCount + seenDeltaCount,
       fetchedCount = m.fetchedCount + fetchedOkCount,

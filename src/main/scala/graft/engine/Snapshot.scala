@@ -34,7 +34,7 @@ object Snapshot {
       fetchedDirs: Vector[String],
       scheduleDirs: Vector[String],
       metricsDirs: Vector[String],
-      bloomFile: String,
+      bloomDir: String,
       frontierCount: Long,
       seenCount: Long,
       fetchedCount: Long,
@@ -109,7 +109,7 @@ object Snapshot {
        |"totalScheduled":${m.totalScheduled},"frontierDir":${q(m.frontierDir)},
        |"seenDirs":${arr(m.seenDirs)},"fetchedDirs":${arr(m.fetchedDirs)},
        |"scheduleDirs":${arr(m.scheduleDirs)},"metricsDirs":${arr(m.metricsDirs)},
-       |"bloomFile":${q(m.bloomFile)},"frontierCount":${m.frontierCount},
+       |"bloomDir":${q(m.bloomDir)},"frontierCount":${m.frontierCount},
        |"seenCount":${m.seenCount},"fetchedCount":${m.fetchedCount},"done":${m.done}}"""
       .stripMargin.replace("\n", "")
 
@@ -138,7 +138,7 @@ object Snapshot {
       num("snapshotId").toInt, num("parentId").toInt, num("round").toInt,
       num("totalScheduled"), str("frontierDir"), strArr("seenDirs"),
       strArr("fetchedDirs"), strArr("scheduleDirs"), strArr("metricsDirs"),
-      str("bloomFile"), num("frontierCount"), num("seenCount"),
+      str("bloomDir"), num("frontierCount"), num("seenCount"),
       num("fetchedCount"), bool("done"))
   }
 }

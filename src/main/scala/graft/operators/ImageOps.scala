@@ -91,7 +91,7 @@ object ImageOps {
   def crawlSmoke(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val spec = CorpusSpec(numHosts = 5, pagesPerHost = 25)
-    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10)
+    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10, numBuckets = 8)
     val out = java.nio.file.Files.createTempDirectory("crawl-smoke").toString
     val res = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, out)
     res.fetched(spark)
@@ -109,7 +109,7 @@ object ImageOps {
     */
   def crawlPhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val spec = CorpusSpec(numHosts = 5, pagesPerHost = 25)
-    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10)
+    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10, numBuckets = 8)
     val out = java.nio.file.Files.createTempDirectory("crawl-phash").toString
     val res = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, out)
     phashNearDup(res.fetched(spark), "image_id", "phash", maxDist = 3)

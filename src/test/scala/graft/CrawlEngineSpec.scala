@@ -37,7 +37,7 @@ class CrawlEngineSpec extends AnyFunSuite {
 
   test("engine ≡ oracle: crawl order, seen set, fetched payloads") {
     val spec = CorpusSpec(numHosts = 6, pagesPerHost = 40)
-    val cfg = CrawlConfig(maxResults = 150, maxRounds = 30)
+    val cfg = CrawlConfig(maxResults = 150, maxRounds = 30, numBuckets = 8)
     val seeds = spec.defaultSeeds(3)
 
     val oracle = RefOracle.crawl(spec, seeds, cfg)
@@ -86,7 +86,7 @@ class CrawlEngineSpec extends AnyFunSuite {
     val spec = CorpusSpec(numHosts = 5, pagesPerHost = 30)
     // expectedItems=8 → heavily saturated filter, fpp → ~1: every candidate
     // funnels through the exact anti-join; results must be identical
-    val cfg = CrawlConfig(maxResults = 100, maxRounds = 20,
+    val cfg = CrawlConfig(maxResults = 100, maxRounds = 20, numBuckets = 8,
       bloomExpectedItems = 8L, bloomFpp = 0.5)
     val seeds = spec.defaultSeeds(2)
     val oracle = RefOracle.crawl(spec, seeds, cfg)
@@ -98,7 +98,7 @@ class CrawlEngineSpec extends AnyFunSuite {
   test("resume from snapshot ≡ uninterrupted run") {
     val spec = CorpusSpec(numHosts = 5, pagesPerHost = 30)
     val seeds = spec.defaultSeeds(2)
-    val full = CrawlConfig(maxResults = 120, maxRounds = 24)
+    val full = CrawlConfig(maxResults = 120, maxRounds = 24, numBuckets = 8)
 
     val dirA = tmpDir()
     val resA = CrawlEngine.run(spark, spec, seeds, full, dirA)
@@ -115,7 +115,7 @@ class CrawlEngineSpec extends AnyFunSuite {
 
   test("time-travel: an older snapshot is a prefix of the final state") {
     val spec = CorpusSpec(numHosts = 5, pagesPerHost = 30)
-    val cfg = CrawlConfig(maxResults = 100, maxRounds = 12)
+    val cfg = CrawlConfig(maxResults = 100, maxRounds = 12, numBuckets = 8)
     val dir = tmpDir()
     val full = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, dir)
     assert(full.manifest.snapshotId >= 3, "need a few committed snapshots")
@@ -135,7 +135,7 @@ class CrawlEngineSpec extends AnyFunSuite {
     // array buffer); tiny images keep both sides fast.
     val spec = CorpusSpec(numHosts = 160, pagesPerHost = 100, hubFanIn = true,
       imgBase = 8, imgVar = 2, quotaBoost = 25, failures = false)
-    val cfg = CrawlConfig(maxResults = Long.MaxValue, maxRounds = 2)
+    val cfg = CrawlConfig(maxResults = Long.MaxValue, maxRounds = 2, numBuckets = 16)
     val seeds = spec.allSeeds
 
     val oracle = RefOracle.crawl(spec, seeds, cfg)
@@ -157,7 +157,7 @@ class CrawlEngineSpec extends AnyFunSuite {
     // this corpus each reach a non-limited round (probed: 6 permanent
     // attempts, 226 rate-limited, 784 scheduled)
     val spec = CorpusSpec(numHosts = 8, pagesPerHost = 50, rateLimitEvery = 4)
-    val cfg = CrawlConfig(maxResults = 2000, maxRounds = 60)
+    val cfg = CrawlConfig(maxResults = 2000, maxRounds = 60, numBuckets = 8)
     val seeds = spec.defaultSeeds(4)
 
     val oracle = RefOracle.crawl(spec, seeds, cfg)
@@ -186,7 +186,7 @@ class CrawlEngineSpec extends AnyFunSuite {
 
   test("skewed corpus (host-0 has 9× pages) still matches oracle") {
     val spec = CorpusSpec(numHosts = 4, pagesPerHost = 30, skewHost0 = true)
-    val cfg = CrawlConfig(maxResults = 80, maxRounds = 16)
+    val cfg = CrawlConfig(maxResults = 80, maxRounds = 16, numBuckets = 8)
     val seeds = spec.defaultSeeds(2)
     val oracle = RefOracle.crawl(spec, seeds, cfg)
     val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
