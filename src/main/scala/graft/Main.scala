@@ -11,7 +11,12 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   runMain graft.Main --out /tmp/crawl [--hosts 20] [--pages 500]
   *     [--seeds 4] [--max 1000] [--rounds 64] [--skew] [--resume]
-  *     [--cores 8] [--show]
+  *     [--cores 8] [--show] [--recent DAYS]
+  *
+  * `--recent DAYS` keeps only seeds published within the last DAYS days
+  * (relative date arithmetic evaluated IN Spark via date_sub against the
+  * corpus epoch 1998-01-01 — the reference's now−90d `--recent` analog,
+  * medcrawler/demo.py:183-192).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -37,7 +42,22 @@ object Main {
     val cfg = CrawlConfig(
       maxResults = opts.getOrElse("max", "1000").toLong,
       maxRounds = opts.getOrElse("rounds", "64").toInt)
-    val seeds = spec.defaultSeeds(opts.getOrElse("seeds", "4").toInt)
+    val allSeeds = spec.defaultSeeds(opts.getOrElse("seeds", "4").toInt)
+    val seeds = opts.get("recent") match {
+      case None => allSeeds
+      case Some(recentDays) =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val pubUdf = udf((u: String) =>
+          SynthCorpus.pubDate(spec, Canon.canonicalize(u)))
+        val kept = spark.createDataset(allSeeds)
+          .withColumn("pub", pubUdf($"url"))
+          .where($"pub" >= date_sub(to_date(lit("1998-01-01")), recentDays.toInt))
+          .select($"seedId", $"url", $"priority")
+          .as[Seed].collect().toSeq
+        println(s"--recent $recentDays: kept ${kept.size}/${allSeeds.size} seeds")
+        kept
+    }
 
     val t0 = System.nanoTime()
     val res =
@@ -73,6 +93,6 @@ object Main {
         parse(rest, acc + (k.stripPrefix("--") -> v))
       case other :: _ =>
         sys.error(s"unrecognized argument: $other (flags: --out --hosts " +
-          "--pages --seeds --max --rounds --cores --skew --resume --show)")
+          "--pages --seeds --max --rounds --cores --recent --skew --resume --show)")
     }
 }

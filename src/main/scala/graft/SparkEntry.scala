@@ -30,7 +30,9 @@ object SparkEntry {
     "q_event_window" -> (R.qEventWindow _),
     "q_explode_tokens" -> (R.qExplodeTokens _),
     "q_date_range" -> (R.qDateRange _),
+    "q_recent" -> (R.qRecent _),
     "q_json_extract" -> (R.qJsonExtract _),
+    "q_json_struct" -> (R.qJsonStruct _),
     // text pipeline (training-data ops)
     "dedup_exact" -> (T.dedupExact _),
     "dedup_ngram" -> (T.dedupNgram _),
@@ -43,6 +45,7 @@ object SparkEntry {
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
     "embed_neardup" -> (V.embedNearDup _),
+    "embed_neardup_brute" -> (V.embedNearDupBrute _),
     "embed_ann_lsh" -> (V.embedAnnLsh _),
     // structured streaming (event-time window + stateful sessionization)
     "stream_event_window" -> (S.streamEventWindow _),
@@ -64,7 +67,9 @@ object SparkEntry {
     "q_event_window" -> R.qEventWindowSql,
     "q_explode_tokens" -> R.qExplodeTokensSql,
     "q_date_range" -> R.qDateRangeSql,
+    "q_recent" -> R.qRecentSql,
     "q_json_extract" -> R.qJsonExtractSql,
+    "q_json_struct" -> R.qJsonStructSql,
     "dedup_exact" -> T.dedupExactSql,
     "dedup_ngram" -> T.dedupNgramSql,
     "dedup_minhash_lsh" -> T.dedupMinhashLshSql,
@@ -75,6 +80,7 @@ object SparkEntry {
     "text_fingerprint" -> T.textFingerprintSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,
+    "embed_neardup_brute" -> V.embedNearDupBruteSql,
     "embed_ann_lsh" -> V.embedAnnLshSql,
     "stream_event_window" -> S.streamEventWindowSql,
     "stream_sessionize" -> S.streamSessionizeSql

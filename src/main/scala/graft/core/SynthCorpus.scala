@@ -196,6 +196,15 @@ object SynthCorpus {
     } catch { case _: NumberFormatException => -1 }
   }
 
+  /** Deterministic publication date of a page in [1995-01-01, 1998-01-01)
+    * — the corpus analog of PubMed publication dates, which drive the
+    * reference's `--recent` now−90d window (medcrawler/demo.py:183-192).
+    */
+  def pubDate(spec: CorpusSpec, canonUrl: String): java.sql.Date = {
+    val rng = new SplittableRandom(mix(spec.seed, mix(0xda7eL, Canon.xxhash64(canonUrl))))
+    java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(rng.nextInt(1096).toLong))
+  }
+
   def caption(spec: CorpusSpec, canonUrl: String): String = {
     val rng = new SplittableRandom(mix(spec.seed, mix(0xcabL, Canon.xxhash64(canonUrl))))
     val n = 4 + rng.nextInt(5)

