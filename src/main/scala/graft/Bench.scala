@@ -71,8 +71,15 @@ object Bench {
       val t0 = System.nanoTime()
       val res = CrawlEngine.run(spark, spec, spec.allSeeds, cfg, out)
       val secs = (System.nanoTime() - t0) / 1e9
+      deleteRecursively(new java.io.File(out)) // ~3.5 GB of payload per run
       (res.totalScheduled, secs)
     } finally spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   def main(args: Array[String]): Unit = {

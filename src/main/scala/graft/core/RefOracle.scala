@@ -87,7 +87,12 @@ object RefOracle {
     def policy(host: String): HostPolicy =
       policies.getOrElse(host, HostPolicy(host, 340, 3, Seq("/private")))
 
-    val seen = mutable.Set.empty[Long]
+    // seen: urlHash -> round that stamped it. With ttlRounds > 0 an entry
+    // only excludes while round - stamp < ttl (TTL refetch, ref
+    // medcrawler/base.py:52-93,161-216); ttl = 0 ⇒ seen-forever.
+    val seen = mutable.Map.empty[Long, Int]
+    def isSeen(h: Long, round: Int): Boolean = seen.get(h).exists(sr =>
+      cfg.ttlRounds <= 0 || round - sr < cfg.ttlRounds)
     val frontier = mutable.Map.empty[Long, Pend]
     // seed dedup: keep max (priority, seedId) per canonical hash
     seeds.foreach { s =>
@@ -120,7 +125,7 @@ object RefOracle {
       val (blocked, allowed) = eligible.partition { p =>
         policy(p.host).robotsDisallow.exists(pre => Canon.pathOf(p.canonUrl).startsWith(pre))
       }
-      blocked.foreach { p => frontier.remove(p.urlHash); seen += p.urlHash }
+      blocked.foreach { p => frontier.remove(p.urlHash); seen(p.urlHash) = round }
 
       // per-host quota
       val quotaKept = allowed
@@ -158,14 +163,14 @@ object RefOracle {
       val failResults = results.collect { case (e, None, kind, _) => e -> kind }
 
       okResults.foreach { case (e, img) =>
-        seen += e.urlHash
+        seen(e.urlHash) = round
         fetched += img
         lineage(e.canonUrl) = (e.seedId, e.path)
       }
       results.foreach {
-        case (e, None, "permanent", _) => seen += e.urlHash
+        case (e, None, "permanent", _) => seen(e.urlHash) = round
         case (e, None, "transient", _) =>
-          if (e.attempt + 1 >= cfg.maxRetries) seen += e.urlHash
+          if (e.attempt + 1 >= cfg.maxRetries) seen(e.urlHash) = round
           else {
             val a = e.attempt + 1
             frontier(e.urlHash) = e.copy(attempt = a, notBeforeRound = round + backoffRounds(a))
@@ -186,7 +191,7 @@ object RefOracle {
           raw.foreach { link =>
             val canon = Canon.canonicalize(link)
             val h = Canon.xxhash64(canon)
-            if (!seen.contains(h) && !frontier.contains(h)) {
+            if (!isSeen(h, round) && !frontier.contains(h)) {
               val m = contrib.getOrElseUpdate(h, mutable.Map.empty)
               val (old, _, _) = m.getOrElse(e.urlHash, (0L, e, canon))
               m(e.urlHash) = (old + cashFp, e, canon)
@@ -232,7 +237,7 @@ object RefOracle {
       round += 1
     }
 
-    OracleResult(order.result(), seen.toSet, fetched.result(), lineage.toMap,
+    OracleResult(order.result(), seen.keySet.toSet, fetched.result(), lineage.toMap,
       metrics.result())
   }
 }

@@ -44,8 +44,13 @@ case class FrontierEntry(
     attempt: Int,
     notBeforeRound: Int)
 
-/** One row of the URL-seen table (bucketed by hostBucket). */
-case class SeenEntry(urlHash: Long, hostBucket: Int)
+/** One row of the URL-seen table (bucketed by hostBucket).
+  *
+  * @param seenRound round that marked the URL seen — drives TTL refetch
+  *                  (ref: cache entries expire after ttl and are refetched,
+  *                  medcrawler/base.py:52-93,161-216)
+  */
+case class SeenEntry(urlHash: Long, hostBucket: Int, seenRound: Int)
 
 /** A fetched image+caption row — the `input_hint` schema from
   * /root/repo/BASELINE.json (column names in snake_case on disk).
@@ -133,6 +138,13 @@ case class HostPolicy(
   *                     rate — correctness must NOT depend on it (the exact
   *                     anti-join is authoritative; tested adversarially)
   * @param bloomFpp     target false-positive probability for the Bloom
+  * @param ttlRounds    TTL refetch horizon: a seen entry older than this
+  *                     many rounds stops excluding its URL, so the URL can
+  *                     be re-discovered and refetched (ref: TTL cache expiry
+  *                     + refetch, medcrawler/base.py:52-93,161-216).
+  *                     0 = seen-forever (fetch-once). The Bloom prefilter is
+  *                     unaffected: expired entries become false positives
+  *                     that the exact (liveness-filtered) anti-join clears.
   */
 case class CrawlConfig(
     maxResults: Long = 1000L,
@@ -142,7 +154,8 @@ case class CrawlConfig(
     numBuckets: Int = 64,
     roundMs: Int = 1000,
     bloomExpectedItems: Long = 0L,
-    bloomFpp: Double = 0.03)
+    bloomFpp: Double = 0.03,
+    ttlRounds: Int = 0)
 
 /** Per-(round, host) metrics row — the fetch/dedup/politeness-wait metrics
   * table required by the north rule. Ref analog: batch success/failure tally,

@@ -67,17 +67,20 @@ object CrawlEngine {
     def schedule(spark: SparkSession): DataFrame =
       if (manifest.scheduleDirs.isEmpty) emptySchedule(spark)
       else
-        spark.read.parquet(manifest.scheduleDirs: _*)
+        CrawlEngine.readAttempts(spark, manifest.scheduleDirs)
           .select(col("round"), col("canonUrl"), col("urlHash"), col("host"),
             col("hostBucket"), col("priority"), col("depth"), col("attempt"))
           .orderBy(col("round").asc, col("priority").desc, col("host").asc,
             col("urlHash").asc)
 
-    /** Fetched rows in the input_hint schema + lineage (ok attempts only). */
+    /** Fetched rows in the input_hint schema + lineage (ok attempts only;
+      * the ok=true predicate prunes to the ok partition of each round's
+      * attempts log — failed rows are never scanned).
+      */
     def fetched(spark: SparkSession): DataFrame =
       if (manifest.fetchedDirs.isEmpty)
         spark.emptyDataFrame
-      else spark.read.parquet(manifest.fetchedDirs: _*)
+      else CrawlEngine.readAttempts(spark, manifest.fetchedDirs)
         .where(col("ok"))
         .select(col("canonUrl").as("image_id"), col("bytes"), col("w"),
           col("h"), col("fmt"), col("caption"), col("phash"),
@@ -107,12 +110,32 @@ object CrawlEngine {
   private val seenSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("urlHash",
       org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("seenRound",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
     org.apache.spark.sql.types.StructField("hostBucket",
       org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  /** Live-seen view at round `r`: with a TTL, entries older than ttlRounds
+    * stop excluding their URL (refetch semantics); ttl = 0 ⇒ seen-forever.
+    */
+  private def liveSeen(df: DataFrame, r: Int, ttlRounds: Int): DataFrame =
+    if (ttlRounds <= 0) df
+    else df.where(lit(r) - col("seenRound") < ttlRounds)
 
   private[engine] def readSeen(spark: SparkSession, dirs: Seq[String]): DataFrame =
     dirs.map(d => spark.read.schema(seenSchema).option("basePath", d).parquet(d))
       .reduce(_ unionByName _)
+
+  /** Union of per-round attempts dirs. Each is partitioned by `ok`, so every
+    * dir needs its own basePath (multiple partitioned roots cannot share one
+    * scan's partition inference). Partition values infer as strings; the
+    * cast back to boolean stays prunable (deterministic expression over the
+    * partition column only).
+    */
+  private[engine] def readAttempts(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.option("basePath", d).parquet(d))
+      .reduce(_ unionByName _)
+      .withColumn("ok", col("ok").cast("boolean"))
 
   // ---- UDFs pinned to graft.core.Canon (same code as the oracle) ----
   private val canonUdf = udf((s: String) => Canon.canonicalize(s))
@@ -140,18 +163,23 @@ object CrawlEngine {
     require(!outDir.exists(c => c == '"' || c == ',' || c == ']' || c == '\\'),
       s"outDir must not contain \" , ] or \\ characters: $outDir")
 
-    // seed frontier with dedup (max priority, tie → min seedId per URL)
+    // seed frontier with dedup (max priority, tie → min seedId per URL):
+    // a min(struct) aggregate, not a window — partial aggregation combines
+    // map-side, so the dedup is one shuffle of combined groups with no
+    // per-partition sort
     val seedDf = spark.createDataset(seeds)
       .withColumn("canonUrl", canonUdf($"url"))
       .withColumn("urlHash", xxhash64($"canonUrl"))
-      .withColumn("host", hostUdf($"canonUrl"))
-      .withColumn("hostBucket", pmod(xxhash64($"host"), lit(cfg.numBuckets)).cast("int"))
-    val w = Window.partitionBy($"urlHash")
-      .orderBy($"priority".desc, $"seedId".asc)
     val frontier0 = seedDf
-      .withColumn("rk", row_number().over(w)).where($"rk" === 1)
-      .select($"url", $"canonUrl", $"urlHash", $"host", $"hostBucket",
-        lit(0).as("depth"), $"priority", $"seedId",
+      .groupBy($"urlHash")
+      .agg(min(struct(negate($"priority").as("negPriority"), $"seedId",
+        $"url", $"canonUrl")).as("top"))
+      .withColumn("host", hostUdf($"top.canonUrl"))
+      .select($"top.url".as("url"), $"top.canonUrl".as("canonUrl"), $"urlHash",
+        $"host",
+        pmod(xxhash64($"host"), lit(cfg.numBuckets)).cast("int").as("hostBucket"),
+        lit(0).as("depth"), negate($"top.negPriority").as("priority"),
+        $"top.seedId".as("seedId"),
         typedLit(Seq.empty[String]).as("path"), lit(0).as("attempt"),
         lit(0).as("notBeforeRound"))
       .as[FrontierEntry]
@@ -240,7 +268,9 @@ object CrawlEngine {
         val mc = Bloom.mightContainCol(m.bloomDir)($"hostBucket", $"urlHash")
         val tagged = eligible.withColumn("maybeSeen", mc)
         val clean = tagged.where(!$"maybeSeen").drop("maybeSeen")
-        val seenDf = readSeen(spark, m.seenDirs)
+        // TTL: only LIVE entries exclude; expired ones are Bloom false
+        // positives that this exact anti-join clears (refetch path)
+        val seenDf = liveSeen(readSeen(spark, m.seenDirs), r, cfg.ttlRounds)
         val checked = tagged.where($"maybeSeen").drop("maybeSeen")
           .join(seenDf, Seq("urlHash", "hostBucket"), "left_anti")
         clean.unionByName(checked)
@@ -284,17 +314,23 @@ object CrawlEngine {
     val quotaRejected = candidates.where($"rk1" > $"quotaPerRound").drop("rk1")
       .unionByName(ranked.where($"rk" > $"quotaPerRound").drop("rk1", "rk"))
 
-    // ---- global budget (L1): keptCount is a scalar two-level aggregate —
-    // O(1) driver memory (the old per-host collect was O(hosts): fine at
-    // 10^3 hosts, not at web scale) ----
+    // ---- global budget (L1): steady-state rounds skip the counting job
+    // entirely — when the remaining budget covers the WHOLE frontier
+    // (manifest row-count statistic, no job), truncation is impossible and
+    // the scheduled count comes from the attempts-log parquet footers after
+    // the fetch. Only rounds near budget exhaustion pay for the scalar
+    // two-level aggregate (O(1) driver memory; the round-1 design collected
+    // O(hosts) rows).
     val remaining = math.max(0L, cfg.maxResults - m.totalScheduled)
-    val keptCount = ph("keptCount")(
-      joined.where(!$"blocked")
-        .groupBy($"host", $"quotaPerRound").agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(least($"quotaPerRound".cast("long"), $"n")), lit(0L)))
-        .as[Long].head())
+    val keptCount =
+      if (remaining >= m.frontierCount) -1L // sentinel: cannot truncate
+      else ph("keptCount")(
+        joined.where(!$"blocked")
+          .groupBy($"host", $"quotaPerRound").agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(least($"quotaPerRound".cast("long"), $"n")), lit(0L)))
+          .as[Long].head())
     val (sched, budgetRejected) =
-      if (keptCount <= remaining) (quotaKept, spark.emptyDataFrame)
+      if (keptCount < 0L || keptCount <= remaining) (quotaKept, spark.emptyDataFrame)
       else {
         val s = quotaKept
           .orderBy($"priority".desc, $"host".asc, $"urlHash".asc)
@@ -302,7 +338,6 @@ object CrawlEngine {
           .persist(StorageLevel.MEMORY_AND_DISK)
         (s.toDF(), quotaKept.join(s.select("urlHash"), Seq("urlHash"), "left_anti"))
       }
-    val schedCount = math.min(keptCount, remaining)
 
     // ---- fetch (S1): salted hash repartition kills host skew (a mega-host
     // spreads over 16 salt values; no RangePartitioner sampling pass), then
@@ -320,15 +355,27 @@ object CrawlEngine {
     // clusters run 2-4x tasks per slot)
     val fetchParallelism = spark.sessionState.conf.numShufflePartitions * 2
     val attemptsDir = s"$outDir/attempts/r$r"
+    // uncompressed: the payload column dominates the bytes and is already
+    // PNG/JPEG-entropy-coded — snappy costs compress CPU in every fetch
+    // task (plus decompress in the three pruned re-reads) for ~5% size.
+    // partitionBy(ok): ok/fail row counts then come FREE from parquet
+    // footers (no outcome-count job), and every downstream reader (seen
+    // delta, retries, outlink expansion, fetched()) partition-prunes to
+    // the half it needs.
     ph("fetchAndWrite")(sched
       .select($"canonUrl", $"urlHash", $"host", $"hostBucket", $"depth",
         $"priority", $"seedId", $"path", $"attempt")
       .as[FetchTask]
       .repartition(fetchParallelism, $"host", pmod($"urlHash", lit(16)))
       .mapPartitions { it => it.map(t => Fetcher.fetchOne(spec, t, r)) }
-      .write.mode("overwrite").parquet(attemptsDir))
+      .write.mode("overwrite").option("compression", "uncompressed")
+      .partitionBy("ok").parquet(attemptsDir))
 
-    val results = spark.read.parquet(attemptsDir)
+    // every scheduled row lands in the attempts log exactly once, so the
+    // footer row counts ARE the scheduled / fetched-ok counts (no job)
+    val fetchedOkCount = parquetRowCount(spark, s"$attemptsDir/ok=true")
+    val schedCount = fetchedOkCount + parquetRowCount(spark, s"$attemptsDir/ok=false")
+    val results = readAttempts(spark, Seq(attemptsDir))
     val okRes = results.where($"ok")
     val failRes = results.where(!$"ok")
 
@@ -343,6 +390,7 @@ object CrawlEngine {
     val seenDelta = okRes.select($"urlHash", $"hostBucket")
       .unionByName(exhausted.select($"urlHash", $"hostBucket"))
       .unionByName(blockedDf.select($"urlHash", $"hostBucket"))
+      .withColumn("seenRound", lit(r))
     val seenDir = s"$outDir/seen/r$r"
     // one task per bucket -> one file per partition dir (aligned with the
     // anti-join's bucket pruning; avoids numBuckets x numPartitions tiny files)
@@ -423,10 +471,12 @@ object CrawlEngine {
     // new URLs: not seen (incl. this round's delta) and not pending.
     // One bucket-prunable anti-join against the union of both exclusion
     // sets (one shuffle/stage instead of two).
-    val seenAll =
-      if (m.seenDirs.isEmpty) seenDeltaOnDisk.select("urlHash", "hostBucket")
-      else readSeen(spark, m.seenDirs).select("urlHash", "hostBucket")
-        .unionByName(seenDeltaOnDisk.select("urlHash", "hostBucket"))
+    // liveness pinned at the CURRENT round r (same instant as the
+    // anti-join above; the oracle mirrors this exactly)
+    val seenAll = liveSeen(
+      if (m.seenDirs.isEmpty) seenDeltaOnDisk
+      else readSeen(spark, m.seenDirs).unionByName(seenDeltaOnDisk),
+      r, cfg.ttlRounds).select("urlHash", "hostBucket")
     val excluded = seenAll.unionByName(pending.select("urlHash", "hostBucket"))
     val fresh = newEntries
       .join(excluded, Seq("urlHash", "hostBucket"), "left_anti")
@@ -463,7 +513,6 @@ object CrawlEngine {
     // Fetch-outcome hosts are always a subset of eligible hosts, so a left
     // join is exact.
     val metricsDir = s"$outDir/metrics/r$r"
-    var fetchedOkCount = 0L
     ph("metrics") {
       val candStats = joined.groupBy($"host").agg(
         count(lit(1)).as("candidates"),
@@ -472,7 +521,6 @@ object CrawlEngine {
       val outcome = results.groupBy($"host").agg(
         sum(when($"ok", 1L).otherwise(0L)).as("okN"),
         sum(when(!$"ok", 1L).otherwise(0L)).as("flN"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       candStats.join(outcome, Seq("host"), "left")
         .select(lit(r).as("round"), $"host", $"candidates", $"minIntervalMs",
           lit(0L).as("seenDropped"), $"robotsBlocked",
@@ -485,9 +533,6 @@ object CrawlEngine {
           $"deferred" * $"minIntervalMs".cast("long"))
         .drop("minIntervalMs")
         .write.mode("overwrite").parquet(metricsDir)
-      fetchedOkCount = outcome
-        .agg(coalesce(sum($"okN"), lit(0L))).as[Long].head()
-      outcome.unpersist()
     }
 
     // ---- bloom merge + snapshot commit ----
@@ -520,8 +565,11 @@ object CrawlEngine {
       if (seenDeltaCount == 0L) m.seenDirs
       else if (m.seenDirs.size + 1 >= 16) {
         val compactDir = s"$outDir/seen/compact-r$r"
+        // keep the NEWEST stamp per key: with a TTL a refetched URL may
+        // appear in several deltas, and only the latest drives liveness
         readSeen(spark, m.seenDirs :+ seenDir)
-          .select("urlHash", "hostBucket")
+          .groupBy($"urlHash", $"hostBucket")
+          .agg(max($"seenRound").as("seenRound"))
           .repartition(cfg.numBuckets, $"hostBucket")
           .write.mode("overwrite").partitionBy("hostBucket").parquet(compactDir)
         Vector(compactDir)
@@ -563,6 +611,7 @@ object CrawlEngine {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
+    if (!fs.exists(new Path(dir))) return 0L
     val it = fs.listFiles(new Path(dir), true)
     var n = 0L
     while (it.hasNext) {

@@ -167,7 +167,11 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(engineSeen(res) == oracle.seen, "seen set mismatch")
 
     // the run must actually exercise all three failure kinds + success
-    val kinds = spark.read.parquet(res.manifest.scheduleDirs: _*)
+    // (per-dir basePath: each attempts dir is partitioned by ok)
+    def attempts = res.manifest.scheduleDirs
+      .map(d => spark.read.option("basePath", d).parquet(d))
+      .reduce(_ unionByName _)
+    val kinds = attempts
       .groupBy("failKind").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kinds.getOrElse("", 0L) > 0, "no successful fetches")
@@ -178,10 +182,26 @@ class CrawlEngineSpec extends AnyFunSuite {
     // no retry burn: a rate-limited URL is re-attempted with the SAME
     // attempt counter (attempt can exceed maxRetries-1 never; and the same
     // (url, attempt) pair may appear in several rounds only via 429)
-    val rl = spark.read.parquet(res.manifest.scheduleDirs: _*)
+    val rl = attempts
       .where(org.apache.spark.sql.functions.col("failKind") === "ratelimited")
       .select("canonUrl", "attempt", "round").collect()
     assert(rl.nonEmpty)
+  }
+
+  test("TTL refetch: expired seen entries are re-discovered and refetched") {
+    // ttlRounds=3: a fetched URL stops being excluded 3 rounds later, so
+    // outlink expansion re-discovers it and it is fetched again (the ref's
+    // TTL cache expiry + refetch, medcrawler/base.py:52-93,161-216)
+    val spec = CorpusSpec(numHosts = 5, pagesPerHost = 20, failures = false)
+    val cfg = CrawlConfig(maxResults = 600, maxRounds = 18, numBuckets = 8,
+      ttlRounds = 3)
+    val seeds = spec.defaultSeeds(2)
+    val oracle = RefOracle.crawl(spec, seeds, cfg)
+    val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+    assert(engineOrder(res) == oracle.order, "crawl order mismatch")
+    assert(engineSeen(res) == oracle.seen, "seen set mismatch")
+    val refetched = oracle.order.groupBy(_._2).filter(_._2.size >= 2)
+    assert(refetched.nonEmpty, "no URL was refetched — ttl never expired")
   }
 
   test("skewed corpus (host-0 has 9× pages) still matches oracle") {
