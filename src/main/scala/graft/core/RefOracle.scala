@@ -51,11 +51,11 @@ import scala.collection.mutable
   *     its canonical target, truncated to integer fixed point ([[Opic]]).
   *     Targets already in seen or pending in the frontier receive nothing
   *     (no accumulation to pending — ref analog: seen-exclusion during
-  *     iteration). New targets aggregate, per parent, subtotalFp = cashFp ·
-  *     (links from that parent); total priority = Opic.toPriority(sum of
-  *     subtotalFp) — exact integer sum, order-independent.
-  *     depth/path/seedId come from the parent with (max subtotal, then min
-  *     parent urlHash). New entries have attempt 0, notBeforeRound = r+1.
+  *     iteration). New targets accumulate total priority =
+  *     Opic.toPriority(sum of per-LINK cashFp) — exact integer sum,
+  *     order-independent. depth/path/seedId come from the parent of the
+  *     link with (max per-link cashFp, then min parent urlHash). New
+  *     entries have attempt 0, notBeforeRound = r+1.
   *  8. stop when frontier is empty, totalScheduled ≥ maxResults, or
   *     maxRounds reached.
   */
@@ -181,9 +181,12 @@ object RefOracle {
         case _ => ()
       }
 
-      // outlink expansion: accumulate fixed-point cash per (child, parent)
-      // key: childHash -> parentHash -> (subtotalFp, parentEntry, childCanon)
-      val contrib = mutable.Map.empty[Long, mutable.Map[Long, (Long, Pend, String)]]
+      // outlink expansion: per child accumulate total fixed-point cash over
+      // ALL links plus the representative parent = (max per-link cash, tie
+      // → min parent urlHash) — the same single-level fold the engine's
+      // one-shuffle groupBy computes
+      // key: childHash -> (totalFp, bestCashFp, bestParent, childCanon)
+      val contrib = mutable.Map.empty[Long, (Long, Long, Pend, String)]
       okResults.foreach { case (e, _) =>
         val raw = SynthCorpus.outlinks(spec, e.canonUrl)
         if (raw.nonEmpty) {
@@ -192,18 +195,20 @@ object RefOracle {
             val canon = Canon.canonicalize(link)
             val h = Canon.xxhash64(canon)
             if (!isSeen(h, round) && !frontier.contains(h)) {
-              val m = contrib.getOrElseUpdate(h, mutable.Map.empty)
-              val (old, _, _) = m.getOrElse(e.urlHash, (0L, e, canon))
-              m(e.urlHash) = (old + cashFp, e, canon)
+              contrib.get(h) match {
+                case None => contrib(h) = (cashFp, cashFp, e, canon)
+                case Some((tot, bc, bp, _)) =>
+                  val better = cashFp > bc ||
+                    (cashFp == bc && e.urlHash < bp.urlHash)
+                  contrib(h) =
+                    if (better) (tot + cashFp, cashFp, e, canon)
+                    else (tot + cashFp, bc, bp, canon)
+              }
             }
           }
         }
       }
-      contrib.foreach { case (h, parents) =>
-        val total = parents.valuesIterator.map(_._1).sum // exact, order-free
-        // representative parent: max subtotal, tie → min parent urlHash
-        val (_, (_, bp, canon)) =
-          parents.toVector.minBy { case (ph, (sub, _, _)) => (-sub, ph) }
+      contrib.foreach { case (h, (total, _, bp, canon)) =>
         frontier(h) = Pend(canon, h, Canon.hostOf(canon), bp.depth + 1,
           Opic.toPriority(total), bp.seedId, bp.path :+ bp.canonUrl, 0, round + 1)
       }

@@ -392,12 +392,6 @@ object CrawlEngine {
       .unionByName(blockedDf.select($"urlHash", $"hostBucket"))
       .withColumn("seenRound", lit(r))
     val seenDir = s"$outDir/seen/r$r"
-    // one task per bucket -> one file per partition dir (aligned with the
-    // anti-join's bucket pruning; avoids numBuckets x numPartitions tiny files)
-    ph("writeSeen")(seenDelta.repartition(cfg.numBuckets, $"hostBucket")
-      .write.mode("overwrite").partitionBy("hostBucket").parquet(seenDir))
-    val seenDeltaCount = parquetRowCount(spark, seenDir)
-    val seenDeltaOnDisk = readSeen(spark, Seq(seenDir))
 
     // retry re-enqueue with exponential backoff (ref wait_chain,
     // medcrawler/base.py:136-154)
@@ -431,17 +425,14 @@ object CrawlEngine {
       .withColumn("childCanon", canonUdf($"rawLink"))
       .withColumn("childHash", xxhash64($"childCanon"))
 
-    val perPair = links.groupBy($"childHash", $"parentHash").agg(
-      first($"childCanon").as("childCanon"),
-      (first($"cashFp") * count(lit(1))).as("subtotalFp"),
-      first($"pDepth").as("pDepth"),
-      first($"pPath").as("pPath"),
-      first($"pSeed").as("pSeed"),
-      first($"parentCanon").as("parentCanon"))
-
-    val perChild = perPair.groupBy($"childHash").agg(
-      sum($"subtotalFp").as("priorityFp"),
-      min(struct(negate($"subtotalFp").as("negSub"), $"parentHash".as("ph"),
+    // ONE link-level aggregation: priority = sum of per-link cash (equals
+    // the per-parent-subtotal sum — link cash from one parent is constant);
+    // representative parent (depth/path/seed donor) = max per-link cash,
+    // tie → min parentHash. Both are map-side-combinable, so the expansion
+    // costs one shuffle instead of two.
+    val perChild = links.groupBy($"childHash").agg(
+      sum($"cashFp").as("priorityFp"),
+      min(struct(negate($"cashFp").as("negCash"), $"parentHash".as("ph"),
         $"pDepth".as("pDepth"), $"pSeed".as("pSeed"), $"pPath".as("pPath"),
         $"parentCanon".as("parentCanon"))).as("rep"),
       min($"childCanon").as("canonUrl"))
@@ -470,12 +461,15 @@ object CrawlEngine {
 
     // new URLs: not seen (incl. this round's delta) and not pending.
     // One bucket-prunable anti-join against the union of both exclusion
-    // sets (one shuffle/stage instead of two).
+    // sets (one shuffle/stage instead of two). The delta side comes from
+    // the in-memory lineage (pruned attempts re-read), so the frontier job
+    // does not wait for the seen write.
     // liveness pinned at the CURRENT round r (same instant as the
     // anti-join above; the oracle mirrors this exactly)
     val seenAll = liveSeen(
-      if (m.seenDirs.isEmpty) seenDeltaOnDisk
-      else readSeen(spark, m.seenDirs).unionByName(seenDeltaOnDisk),
+      if (m.seenDirs.isEmpty) seenDelta
+      else readSeen(spark, m.seenDirs)
+        .unionByName(seenDelta.select("urlHash", "seenRound", "hostBucket")),
       r, cfg.ttlRounds).select("urlHash", "hostBucket")
     val excluded = seenAll.unionByName(pending.select("urlHash", "hostBucket"))
     val fresh = newEntries
@@ -501,19 +495,41 @@ object CrawlEngine {
           .select(nextFrontierBase.columns.map(col).toSeq: _*)
       }
     val nextFrontierDir = s"$outDir/frontier/r${r + 1}"
-    ph("writeFrontier")(nextFrontier.write.mode("overwrite").parquet(nextFrontierDir))
-    // row counts come from parquet footers (driver-side metadata read, no
-    // Spark job) -- the same statistics an Iceberg manifest would carry
-    val nextFrontierCount = parquetRowCount(spark, nextFrontierDir)
 
-    // ---- metrics (A2 analog + north-rule politeness-wait): fully
-    // distributed — a per-host aggregate over the cached candidates joined
-    // with a per-host fetch-outcome aggregate, written without ever
-    // materializing O(hosts) rows on the driver (web scale: 10^7+ hosts).
-    // Fetch-outcome hosts are always a subset of eligible hosts, so a left
-    // join is exact.
+    // ---- round tail: four INDEPENDENT output jobs (seen delta, next
+    // frontier, metrics, bloom merge) run as concurrent Spark actions —
+    // they share the materialized caches (joined/candidates/ranked) and
+    // the attempts parquet, so overlapping them collapses their wall time
+    // to the slowest one. This near-constant tail is what limits N→4N
+    // scaling on a single box (the fetch stage itself scales).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
+    val expectedItems =
+      if (cfg.bloomExpectedItems > 0) cfg.bloomExpectedItems else 1L << 16
+    val bloomDirNew = s"$outDir/bloom/r$r"
+
+    val seenF = Future(ph("writeSeen") {
+      // one task per bucket -> one file per partition dir (aligned with the
+      // anti-join's bucket pruning; avoids numBuckets x numPartitions files)
+      seenDelta.repartition(cfg.numBuckets, $"hostBucket")
+        .write.mode("overwrite").partitionBy("hostBucket").parquet(seenDir)
+      parquetRowCount(spark, seenDir)
+    })
+    val frontierF = Future(ph("writeFrontier") {
+      nextFrontier.write.mode("overwrite").parquet(nextFrontierDir)
+      // row counts come from parquet footers (driver-side metadata read, no
+      // Spark job) -- the same statistics an Iceberg manifest would carry
+      parquetRowCount(spark, nextFrontierDir)
+    })
+    // metrics (A2 analog + north-rule politeness-wait): fully distributed —
+    // a per-host aggregate over the cached candidates joined with a per-host
+    // fetch-outcome aggregate, written without ever materializing O(hosts)
+    // rows on the driver (web scale: 10^7+ hosts). Fetch-outcome hosts are
+    // always a subset of eligible hosts, so a left join is exact.
     val metricsDir = s"$outDir/metrics/r$r"
-    ph("metrics") {
+    val metricsF = Future(ph("metrics") {
       val candStats = joined.groupBy($"host").agg(
         count(lit(1)).as("candidates"),
         sum(when($"blocked", 1L).otherwise(0L)).as("robotsBlocked"),
@@ -533,26 +549,23 @@ object CrawlEngine {
           $"deferred" * $"minIntervalMs".cast("long"))
         .drop("minIntervalMs")
         .write.mode("overwrite").parquet(metricsDir)
-    }
+    })
+    // bloom merge: expectedItems must be CONSTANT across rounds (sketch
+    // bloom filters only merge at identical bit size). Sized for the crawl
+    // horizon per bucket; saturation degrades the prefilter's fpp, never
+    // correctness (the anti-join is authoritative). The merge is
+    // distributed and partition-local: delta filters merge into per-bucket
+    // FILES on the executors; the driver never holds filter bytes. An
+    // empty delta just hard-links every bucket forward.
+    val bloomF = Future(ph("bloomMerge")(
+      Bloom.mergeAndSave(seenDelta, Some(m.bloomDir), bloomDirNew,
+        expectedItems, cfg.bloomFpp)))
 
-    // ---- bloom merge + snapshot commit ----
-    // expectedItems must be CONSTANT across rounds: sketch bloom filters can
-    // only merge at identical bit size. Sized for the crawl horizon per
-    // bucket; saturation degrades the prefilter's fpp, never correctness
-    // (the anti-join is authoritative). The merge is distributed and
-    // partition-local: delta filters merge into per-bucket FILES on the
-    // executors; the driver never holds filter bytes. An empty delta reuses
-    // the previous round's bloom dir unchanged.
-    val expectedItems =
-      if (cfg.bloomExpectedItems > 0) cfg.bloomExpectedItems else 1L << 16
-    val bloomDir =
-      if (seenDeltaCount == 0L) m.bloomDir
-      else {
-        val d = s"$outDir/bloom/r$r"
-        ph("bloomMerge")(Bloom.mergeAndSave(seenDeltaOnDisk,
-          Some(m.bloomDir), d, expectedItems, cfg.bloomFpp))
-        d
-      }
+    val seenDeltaCount = Await.result(seenF, Duration.Inf)
+    val nextFrontierCount = Await.result(frontierF, Duration.Inf)
+    Await.result(metricsF, Duration.Inf)
+    Await.result(bloomF, Duration.Inf)
+    val bloomDir = bloomDirNew
 
     joined.unpersist(); candidates.unpersist(); ranked.unpersist()
     pending.unpersist()
