@@ -338,10 +338,13 @@ object RelationalOps {
   def qRecent(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
+    // bounds computed with date_sub, then cast to timestamp on the LITERAL
+    // side — the scan column stays bare, so the range predicate pushes into
+    // the parquet scan (a to_date() around the column would block pushdown)
     val now = to_date(lit("1997-06-01"))
     t(dir, "orders")
-      .where(to_date($"o_orderdate") >= date_sub(now, 90) &&
-        to_date($"o_orderdate") < now)
+      .where($"o_orderdate" >= date_sub(now, 90).cast("timestamp") &&
+        $"o_orderdate" < now.cast("timestamp"))
       .agg(count(lit(1)).as("n"),
         sum(round($"o_totalprice" * 100).cast("bigint")).as("total_cents"),
         min(to_date($"o_orderdate")).as("d_min"),
@@ -354,6 +357,6 @@ object RelationalOps {
       | min(CAST(o_orderdate AS DATE)) AS d_min,
       | max(CAST(o_orderdate AS DATE)) AS d_max
       |FROM orders
-      |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-06-01' - 90
-      |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'""".stripMargin
+      |WHERE o_orderdate >= CAST(DATE '1997-06-01' - 90 AS TIMESTAMP)
+      |  AND o_orderdate < TIMESTAMP '1997-06-01'""".stripMargin
 }

@@ -96,4 +96,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("l_returnflag") && !plan.contains("l_orderkey"),
       s"column pruning failed:\n$plan")
   }
+
+  test("plan shape: LSH similarity paths contain no cross join") {
+    Seq(
+      "embed_neardup" -> graft.operators.VectorOps.embedNearDup(spark, dir),
+      "embed_ann_lsh" -> graft.operators.VectorOps.embedAnnLsh(spark, dir)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains a cross join:\n$plan")
+    }
+  }
+
+  test("plan shape: q_recent date_sub bound is pushed into the scan") {
+    val plan = graft.operators.RelationalOps.qRecent(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"date filter not pushed:\n$plan")
+  }
 }
