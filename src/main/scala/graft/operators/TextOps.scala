@@ -143,31 +143,33 @@ object TextOps {
   /** 32-bit SimHash over distinct tokens: per-bit weighted vote of md5 token
     * hashes (bit j extracted from hex nibble j/4).
     *
-    * All 32 bit votes of a token are folded in ONE array expression and
-    * aggregated as 32 sum() columns in a single per-doc groupBy — no
-    * explode(32) row inflation (the naive bits-as-rows plan shuffles 32×
-    * the tokens before its first aggregate; this one shuffles map-side
-    * partial sums only).
+    * The WHOLE signature folds inside one higher-order expression per doc:
+    * tokens → md5 → per-token ±1 bit-vote vector → zip_with sum → sign
+    * bits. No explode, no groupBy, no shuffle — a pure narrow projection
+    * (the round-1 plan inflated 32 rows per token before its first
+    * aggregate; the votes are integer sums, so the per-doc sequential fold
+    * is exactly the same result).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val tok = docs(dir)
-      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
-      .withColumn("h", md5($"t"))
-      .withColumn("bits", expr(
-        """transform(sequence(0, 31), j ->
-          |  pmod(shiftright(instr('0123456789abcdef',
-          |    substring(h, 1 + cast(j/4 as int), 1)) - 1, pmod(j, 4)), 2))"""
-          .stripMargin))
-    val votes = (0 until 32).map(j =>
-      sum(element_at($"bits", j + 1) * 2 - 1).as(s"v$j"))
-    tok.groupBy($"doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select($"doc_id",
-        (0 until 32).map(j =>
-          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).cast("bigint").as("simhash"))
+    docs(dir)
+      .select($"doc_id", expr(
+        """aggregate(
+          |  transform(array_distinct(split(text, ' ')), t -> md5(t)),
+          |  array_repeat(0L, 32),
+          |  (acc, h) -> zip_with(acc,
+          |    transform(sequence(0, 31), j ->
+          |      pmod(shiftright(instr('0123456789abcdef',
+          |        substring(h, 1 + cast(j/4 as int), 1)) - 1, pmod(j, 4)), 2)
+          |      * 2 - 1),
+          |    (a, v) -> a + v))""".stripMargin).as("votes"))
+      .select($"doc_id", expr(
+        """aggregate(
+          |  zip_with(votes, sequence(0, 31),
+          |    (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)),
+          |  0L, (acc, x) -> acc + x)""".stripMargin)
+        .cast("bigint").as("simhash"))
       .orderBy($"doc_id")
   }
 
