@@ -27,9 +27,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  // SPARK_GRAFT_QUOTA_BOOST widens the scheduling round (quota scales with
+  // round wall-clock length); default 20 ≈ the round-1 workload so numbers
+  // stay comparable across rounds
   private def benchSpec(scale: Int) = CorpusSpec(
     numHosts = 400 * scale, pagesPerHost = 100,
-    imgBase = 256, imgVar = 65, quotaBoost = 20)
+    imgBase = 256, imgVar = 65,
+    quotaBoost = sys.env.getOrElse("SPARK_GRAFT_QUOTA_BOOST", "20").toInt)
 
   /** Raw-thread fetch throughput (no Spark): the hardware/codec ceiling. */
   def rawFetch(threads: Int, n: Int, spec: CorpusSpec): Double = {

@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   runMain graft.Main --out /tmp/crawl [--hosts 20] [--pages 500]
   *     [--seeds 4] [--max 1000] [--rounds 64] [--skew] [--resume]
-  *     [--cores 8] [--show] [--recent DAYS]
+  *     [--cores 8] [--show] [--recent DAYS] [--ttl ROUNDS] [--ratelimit K]
   *
   * `--recent DAYS` keeps only seeds published within the last DAYS days
   * (relative date arithmetic evaluated IN Spark via date_sub against the
@@ -38,10 +38,12 @@ object Main {
     val spec = CorpusSpec(
       numHosts = opts.getOrElse("hosts", "20").toInt,
       pagesPerHost = opts.getOrElse("pages", "500").toInt,
-      skewHost0 = opts.contains("skew"))
+      skewHost0 = opts.contains("skew"),
+      rateLimitEvery = opts.getOrElse("ratelimit", "0").toInt)
     val cfg = CrawlConfig(
       maxResults = opts.getOrElse("max", "1000").toLong,
-      maxRounds = opts.getOrElse("rounds", "64").toInt)
+      maxRounds = opts.getOrElse("rounds", "64").toInt,
+      ttlRounds = opts.getOrElse("ttl", "0").toInt)
     val allSeeds = spec.defaultSeeds(opts.getOrElse("seeds", "4").toInt)
     val seeds = opts.get("recent") match {
       case None => allSeeds
@@ -93,6 +95,7 @@ object Main {
         parse(rest, acc + (k.stripPrefix("--") -> v))
       case other :: _ =>
         sys.error(s"unrecognized argument: $other (flags: --out --hosts " +
-          "--pages --seeds --max --rounds --cores --recent --skew --resume --show)")
+          "--pages --seeds --max --rounds --cores --recent --ttl " +
+          "--ratelimit --skew --resume --show)")
     }
 }

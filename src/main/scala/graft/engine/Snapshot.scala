@@ -72,8 +72,13 @@ object Snapshot {
     fromJson(json)
   }
 
-  /** Delete frontier dirs belonging to snapshots older than `retain`
-    * generations (they are superseded, never read again).
+  /** Expire snapshots older than `retain` generations, Iceberg-style:
+    * delete their frontier dirs plus any seen-delta / bloom dirs no longer
+    * referenced by a retained manifest. Like Iceberg's expire_snapshots,
+    * time-travel to an expired snapshot is no longer guaranteed (its state
+    * files may be gone if superseded by compaction); the attempts/metrics
+    * DATA outputs are never touched. Bloom dirs share unchanged bucket
+    * files via hard links, so deleting a superseded dir only unlinks.
     */
   def expire(root: String, retain: Int = 3): Unit = {
     val dir = metaDir(root)
@@ -84,10 +89,17 @@ object Snapshot {
         s.stripPrefix("v").stripSuffix(".json").toInt
       }
       .toVector.sorted
+    val retained = manifests.takeRight(retain).map(read(root, _))
+    val referenced: Set[String] =
+      retained.flatMap(m => m.seenDirs ++ Vector(m.bloomDir, m.frontierDir)).toSet
     manifests.dropRight(retain).foreach { id =>
       val m = read(root, id)
-      val fd = Paths.get(m.frontierDir)
-      if (Files.isDirectory(fd)) deleteRecursively(fd)
+      (Vector(m.frontierDir, m.bloomDir) ++ m.seenDirs)
+        .filterNot(referenced.contains)
+        .foreach { d =>
+          val p = Paths.get(d)
+          if (Files.isDirectory(p)) deleteRecursively(p)
+        }
     }
   }
 

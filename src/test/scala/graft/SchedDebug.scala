@@ -1,5 +1,6 @@
 package graft
-object ScratchSched {
+
+object SchedDebug {
   // Isolate the NON-FETCH pipeline scaling: tiny images make fetch ~free,
   // so wall time ~= scheduling+writes+commit chain.
   def main(args: Array[String]): Unit = {
@@ -25,7 +26,7 @@ object ScratchSched {
     round(16) // warmup
     for (c <- Seq(4, 16, 4, 16)) {
       val (n, t) = round(c)
-      println(f"SCHED cores=$c: $n urls in $t%.1fs")
+      println(f"[sched] cores=$c: $n urls in $t%.1fs")
     }
   }
 }
