@@ -204,6 +204,25 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(refetched.nonEmpty, "no URL was refetched — ttl never expired")
   }
 
+  test("10^6-candidate skewed host: salted quota window stays exact") {
+    // host-0 carries ~1.08M eligible candidates in ONE round (9× skew over
+    // 120k pages/host) — the scale point where a naive single per-host
+    // window serializes one task. The salted two-phase top-k bounds every
+    // task at 1/16 of the host (phase 1) or 16×quota rows (phase 2) and
+    // must still schedule the EXACT same top-quota set as the oracle.
+    val spec = CorpusSpec(numHosts = 4, pagesPerHost = 120000,
+      skewHost0 = true, failures = false, imgBase = 8, imgVar = 2)
+    val cfg = CrawlConfig(maxResults = Long.MaxValue, maxRounds = 1,
+      numBuckets = 8)
+    val seeds = spec.allSeeds
+    assert(seeds.size >= 1400000)
+
+    val oracle = RefOracle.crawl(spec, seeds, cfg)
+    val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+    assert(engineOrder(res) == oracle.order, "crawl order mismatch")
+    assert(engineSeen(res) == oracle.seen, "seen set mismatch")
+  }
+
   test("skewed corpus (host-0 has 9× pages) still matches oracle") {
     val spec = CorpusSpec(numHosts = 4, pagesPerHost = 30, skewHost0 = true)
     val cfg = CrawlConfig(maxResults = 80, maxRounds = 16, numBuckets = 8)
