@@ -106,7 +106,12 @@ object Bloom {
           val name = p.getFileName.toString
           if (name.startsWith("b") && name.endsWith(".bloom")) {
             val bucket = name.stripPrefix("b").stripSuffix(".bloom").toInt
-            if (!changed.contains(bucket))
+            // idempotent: a crash between mergeAndSave and Snapshot.commit
+            // re-runs the round — the merged-bucket path already overwrites
+            // (ATOMIC_MOVE + REPLACE), and the carry-forward link must not
+            // throw FileAlreadyExists on the second pass
+            if (!changed.contains(bucket) &&
+                !Files.exists(bucketPath(newDir, bucket)))
               Files.createLink(bucketPath(newDir, bucket), p)
           }
         }

@@ -88,7 +88,10 @@ object CrawlEngine {
           col("priority"), col("round"))
 
     def seen(spark: SparkSession): DataFrame =
-      if (manifest.seenDirs.isEmpty) spark.emptyDataFrame
+      if (manifest.seenDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          CrawlEngine.seenSchema)
       else CrawlEngine.readSeen(spark, manifest.seenDirs)
 
     def metrics(spark: SparkSession): DataFrame =
@@ -128,14 +131,21 @@ object CrawlEngine {
 
   /** Union of per-round attempts dirs. Each is partitioned by `ok`, so every
     * dir needs its own basePath (multiple partitioned roots cannot share one
-    * scan's partition inference). Partition values infer as strings; the
-    * cast back to boolean stays prunable (deterministic expression over the
-    * partition column only).
+    * scan's partition inference). The schema is PINNED to the FetchResult
+    * encoder schema: no footer-inference job per dir, the `ok` partition
+    * column comes back boolean directly (still partition-prunable), and a
+    * round that scheduled ZERO URLs (e.g. every frontier entry time-deferred
+    * by 429 backoff) — whose partitionBy write leaves only _SUCCESS with no
+    * data files — reads back as an empty frame instead of throwing
+    * UNABLE_TO_INFER_SCHEMA mid-crawl.
     */
+  private val attemptsSchema =
+    org.apache.spark.sql.Encoders.product[FetchResult].schema
+
   private[engine] def readAttempts(spark: SparkSession, dirs: Seq[String]): DataFrame =
-    dirs.map(d => spark.read.option("basePath", d).parquet(d))
+    dirs.map(d =>
+      spark.read.schema(attemptsSchema).option("basePath", d).parquet(d))
       .reduce(_ unionByName _)
-      .withColumn("ok", col("ok").cast("boolean"))
 
   // ---- UDFs pinned to graft.core.Canon (same code as the oracle) ----
   private val canonUdf = udf((s: String) => Canon.canonicalize(s))
@@ -329,6 +339,7 @@ object CrawlEngine {
           .groupBy($"host", $"quotaPerRound").agg(count(lit(1)).as("n"))
           .agg(coalesce(sum(least($"quotaPerRound".cast("long"), $"n")), lit(0L)))
           .as[Long].head())
+    var truncatedSched: Option[DataFrame] = None
     val (sched, budgetRejected) =
       if (keptCount < 0L || keptCount <= remaining) (quotaKept, spark.emptyDataFrame)
       else {
@@ -336,6 +347,7 @@ object CrawlEngine {
           .orderBy($"priority".desc, $"host".asc, $"urlHash".asc)
           .limit(math.min(remaining, Int.MaxValue.toLong).toInt)
           .persist(StorageLevel.MEMORY_AND_DISK)
+        truncatedSched = Some(s.toDF())
         (s.toDF(), quotaKept.join(s.select("urlHash"), Seq("urlHash"), "left_anti"))
       }
 
@@ -568,14 +580,14 @@ object CrawlEngine {
     val bloomDir = bloomDirNew
 
     joined.unpersist(); candidates.unpersist(); ranked.unpersist()
-    pending.unpersist()
+    pending.unpersist(); truncatedSched.foreach(_.unpersist())
 
     // compact seen deltas periodically: linear delta growth would make the
     // per-round union (and its file listing) quadratic over a long crawl --
     // the Iceberg-compaction analog; the manifest swaps N delta dirs for one.
     // Empty deltas (fully rate-limited round) never enter the manifest.
-    val newSeenDirs =
-      if (seenDeltaCount == 0L) m.seenDirs
+    val (newSeenDirs, newSeenCount) =
+      if (seenDeltaCount == 0L) (m.seenDirs, m.seenCount)
       else if (m.seenDirs.size + 1 >= 16) {
         val compactDir = s"$outDir/seen/compact-r$r"
         // keep the NEWEST stamp per key: with a TTL a refetched URL may
@@ -585,8 +597,12 @@ object CrawlEngine {
           .agg(max($"seenRound").as("seenRound"))
           .repartition(cfg.numBuckets, $"hostBucket")
           .write.mode("overwrite").partitionBy("hostBucket").parquet(compactDir)
-        Vector(compactDir)
-      } else m.seenDirs :+ seenDir
+        // seenCount between compactions is a cumulative STAMP count (with a
+        // TTL a refetched URL stamps several deltas); compaction collapses
+        // duplicates, so re-baseline from the compacted footers — exact
+        // distinct-key count, no job
+        (Vector(compactDir), parquetRowCount(spark, compactDir))
+      } else (m.seenDirs :+ seenDir, m.seenCount + seenDeltaCount)
 
     val totalScheduled = m.totalScheduled + schedCount
     Snapshot.Manifest(
@@ -601,7 +617,7 @@ object CrawlEngine {
       metricsDirs = m.metricsDirs :+ metricsDir,
       bloomDir = bloomDir,
       frontierCount = nextFrontierCount,
-      seenCount = m.seenCount + seenDeltaCount,
+      seenCount = newSeenCount,
       fetchedCount = m.fetchedCount + fetchedOkCount,
       done = totalScheduled >= cfg.maxResults || nextFrontierCount == 0L)
   }

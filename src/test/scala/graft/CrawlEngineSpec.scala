@@ -223,6 +223,24 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(engineSeen(res) == oracle.seen, "seen set mismatch")
   }
 
+  test("zero-scheduled round (every entry 429-deferred) does not crash") {
+    // rateLimitEvery=1 ⇒ EVERY host is rate-limited EVERY round: round 0
+    // schedules the seeds and they all fail ratelimited, so round 1's
+    // frontier is non-empty but fully time-deferred — the round schedules
+    // ZERO urls and its partitionBy("ok") attempts write produces no data
+    // files. The pinned-schema read must yield an empty frame, not throw
+    // UNABLE_TO_INFER_SCHEMA (ADVICE r2 high).
+    val spec = CorpusSpec(numHosts = 3, pagesPerHost = 10, rateLimitEvery = 1)
+    val cfg = CrawlConfig(maxResults = 50, maxRounds = 5, numBuckets = 8)
+    val seeds = spec.defaultSeeds(3)
+    val oracle = RefOracle.crawl(spec, seeds, cfg)
+    val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+    assert(engineOrder(res) == oracle.order)
+    assert(engineSeen(res) == oracle.seen)
+    // nothing ever fetched ok under total rate limiting
+    assert(res.manifest.fetchedCount == 0L)
+  }
+
   test("skewed corpus (host-0 has 9× pages) still matches oracle") {
     val spec = CorpusSpec(numHosts = 4, pagesPerHost = 30, skewHost0 = true)
     val cfg = CrawlConfig(maxResults = 80, maxRounds = 16, numBuckets = 8)
