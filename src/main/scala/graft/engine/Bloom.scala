@@ -1,7 +1,6 @@
 package graft.engine
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -42,11 +41,10 @@ object Bloom {
     bos.toByteArray
   }
 
-  def bucketPath(dir: String, bucket: Int): Path =
-    Paths.get(dir, s"b$bucket.bloom")
+  def bucketPath(dir: String, bucket: Int): String = s"$dir/b$bucket.bloom"
 
   /** Create an empty bloom-state directory (fresh crawl, round 0). */
-  def init(dir: String): Unit = Files.createDirectories(Paths.get(dir))
+  def init(dir: String): Unit = Fs.mkdirs(dir)
 
   /** Distributed per-bucket delta merge. The per-bucket delta filters come
     * out of the [[BloomBuildAgg]] aggregation; each aggregation OUTPUT task
@@ -68,7 +66,7 @@ object Bloom {
       newDir: String,
       expectedItems: Long,
       fpp: Double): Unit = {
-    Files.createDirectories(Paths.get(newDir))
+    Fs.mkdirs(newDir)
     val spark = seenDelta.sparkSession
     import spark.implicits._
     val prev = prevDir // local val: the closure must not capture a Manifest
@@ -79,41 +77,27 @@ object Bloom {
       .mapPartitions { it =>
         it.map { case (bucket, deltaBytes) =>
           val merged = prev.map(d => bucketPath(d, bucket))
-            .filter(Files.exists(_)) match {
+            .filter(Fs.exists) match {
             case Some(p) =>
-              val bf = deserialize(Files.readAllBytes(p))
+              val bf = deserialize(Fs.readAllBytes(p))
               bf.mergeInPlace(deserialize(deltaBytes))
               serialize(bf)
             case None => deltaBytes
           }
-          val target = bucketPath(newDir, bucket)
-          val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-          Files.write(tmp, merged)
-          Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // idempotent publish: a crash between mergeAndSave and
+          // Snapshot.commit re-runs the round and replaces the file
+          Fs.writeAtomic(bucketPath(newDir, bucket), merged)
           bucket
         }
       }
       .collect()
       .toSet
     prevDir.foreach { d =>
-      val dp = Paths.get(d)
-      if (Files.isDirectory(dp)) {
-        val it = Files.list(dp).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          val name = p.getFileName.toString
-          if (name.startsWith("b") && name.endsWith(".bloom")) {
-            val bucket = name.stripPrefix("b").stripSuffix(".bloom").toInt
-            // idempotent: a crash between mergeAndSave and Snapshot.commit
-            // re-runs the round — the merged-bucket path already overwrites
-            // (ATOMIC_MOVE + REPLACE), and the carry-forward link must not
-            // throw FileAlreadyExists on the second pass
-            if (!changed.contains(bucket) &&
-                !Files.exists(bucketPath(newDir, bucket)))
-              Files.createLink(bucketPath(newDir, bucket), p)
-          }
+      Fs.list(d).foreach { name =>
+        if (name.startsWith("b") && name.endsWith(".bloom")) {
+          val bucket = name.stripPrefix("b").stripSuffix(".bloom").toInt
+          if (!changed.contains(bucket))
+            Fs.carryForward(bucketPath(d, bucket), bucketPath(newDir, bucket))
         }
       }
     }
@@ -148,7 +132,7 @@ object BloomCache {
     var v = cache.get(key)
     if (v == null) {
       val p = Bloom.bucketPath(dir, bucket)
-      v = if (Files.exists(p)) Some(Bloom.deserialize(Files.readAllBytes(p)))
+      v = if (Fs.exists(p)) Some(Bloom.deserialize(Fs.readAllBytes(p)))
           else None
       cache.put(key, v)
       if (cache.size() > 4096) cache.clear()

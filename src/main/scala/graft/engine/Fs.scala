@@ -1,0 +1,95 @@
+package graft.engine
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+
+/** Hadoop-FileSystem-backed engine-state I/O.
+  *
+  * All engine sidecar state (snapshot manifests, Bloom bucket files, exact
+  * key-log runs) goes through the Hadoop `FileSystem` API so the same code
+  * addresses local disk in this sandbox and HDFS/S3A on a real cluster —
+  * the data-plane parquet reads/writes already do (Spark uses Hadoop FS
+  * underneath).
+  *
+  * Configuration resolution: `new Configuration()` picks up core-site.xml
+  * from the classpath, which is how executor-side tasks resolve the cluster
+  * default FS; the driver could pass `spark.hadoopConfiguration`, but one
+  * shared resolution path keeps driver and executor behavior identical.
+  * Hard links are kept as a local-FS fast path for the carry-forward of
+  * unchanged bucket files; any other scheme falls back to an FS copy
+  * (on a real deployment the copy would be replaced by manifest-level
+  * file references, the Iceberg pattern the Snapshot log already uses for
+  * parquet dirs).
+  */
+object Fs {
+
+  @transient private lazy val conf = new Configuration()
+
+  def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
+
+  def exists(path: String): Boolean = fs(path).exists(new Path(path))
+
+  def mkdirs(path: String): Unit = { fs(path).mkdirs(new Path(path)); () }
+
+  def delete(path: String): Unit = {
+    fs(path).delete(new Path(path), true); ()
+  }
+
+  def readAllBytes(path: String): Array[Byte] = {
+    val p = new Path(path)
+    val in = fs(path).open(p)
+    try {
+      val bos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        bos.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  /** Atomic-publish write: tmp file + rename. Idempotent: an existing
+    * target (crash-and-retry between state write and snapshot commit) is
+    * replaced.
+    */
+  def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val f = fs(path)
+    val target = new Path(path)
+    val tmp = new Path(path + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (f.exists(target)) f.delete(target, false)
+    if (!f.rename(tmp, target))
+      sys.error(s"rename $tmp -> $target failed")
+  }
+
+  /** File names (not paths) directly under `dir`; empty if missing. */
+  def list(dir: String): Vector[String] = {
+    val f = fs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Vector.empty
+    else f.listStatus(p).toVector.map(_.getPath.getName)
+  }
+
+  /** Carry an immutable file forward: hard link on local FS (no data copy),
+    * FS copy elsewhere. No-op if the target already exists (idempotent
+    * re-run after a crash between state write and snapshot commit).
+    */
+  def carryForward(src: String, dst: String): Unit = {
+    val f = fs(dst)
+    if (f.exists(new Path(dst))) return
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(new Path(dst).toUri.getPath),
+          java.nio.file.Paths.get(new Path(src).toUri.getPath))
+        return
+      } catch { case _: java.nio.file.FileAlreadyExistsException => return }
+    }
+    FileUtil.copy(fs(src), new Path(src), f, new Path(dst), false, conf); ()
+  }
+}

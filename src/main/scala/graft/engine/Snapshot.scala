@@ -1,29 +1,33 @@
 package graft.engine
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-
 /** Minimal Iceberg-style snapshot log over Parquet.
   *
   * No Iceberg jars exist in /opt/spark/jars (offline coursier), so the table
   * format is emulated with the same guarantees the north rule relies on:
   *   - atomic commit: data files are written first, then the manifest JSON is
-  *     written to a temp file and atomically renamed to `meta/v{N}.json` —
-  *     readers only ever see fully-committed snapshots (Iceberg's
-  *     metadata-swap commit);
+  *     written to a temp file and renamed to `meta/v{N}.json` — readers only
+  *     ever see fully-committed snapshots (Iceberg's metadata-swap commit);
   *   - parent chain: each manifest records its parent snapshot id;
   *   - exact resume: the manifest carries every state pointer a crawl round
-  *     needs (frontier dir, seen delta dirs, bloom sidecar, fetched/schedule/
-  *     metrics delta dirs, round counter, scheduled-budget counter);
-  *   - snapshot expiry: superseded frontier dirs older than `retain` commits
+  *     needs (frontier add/removal log, seen delta dirs + key sidecars, bloom
+  *     sidecar, fetched/schedule/metrics delta dirs, round counter,
+  *     scheduled-budget counter);
+  *   - snapshot expiry: superseded state dirs older than `retain` commits
   *     are deleted (ref analog: oldest-first TTL cache eviction,
   *     medcrawler/base.py:82-86).
+  *
+  * All manifest I/O goes through the Hadoop `FileSystem` API ([[Fs]]) so the
+  * log works against local disk, HDFS, or S3A unchanged.
   *
   * Ref analog of the whole log: the TTL result cache + incremental seen-set
   * accretion (medcrawler/base.py:52-93) — fetch-once semantics persisted.
   */
 object Snapshot {
 
+  /** @param seenCount cumulative seen-stamp count between compactions (a TTL
+    *                  refetch re-stamps the same URL); re-baselined to the
+    *                  exact distinct-key count at each compaction
+    */
   case class Manifest(
       snapshotId: Int,
       parentId: Int, // -1 for the first snapshot
@@ -40,37 +44,29 @@ object Snapshot {
       fetchedCount: Long,
       done: Boolean)
 
-  private def metaDir(root: String): Path = Paths.get(root, "meta")
+  private def metaDir(root: String): String = s"$root/meta"
 
   def commit(root: String, m: Manifest): Unit = {
-    val dir = metaDir(root)
-    Files.createDirectories(dir)
-    val json = toJson(m)
-    val tmp = dir.resolve(s"v${m.snapshotId}.json.tmp")
-    Files.write(tmp, json.getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve(s"v${m.snapshotId}.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    Fs.mkdirs(metaDir(root))
+    Fs.writeAtomic(s"${metaDir(root)}/v${m.snapshotId}.json",
+      toJson(m).getBytes("UTF-8"))
   }
 
-  /** Latest committed snapshot, if any. Ignores torn .tmp files. */
-  def latest(root: String): Option[Manifest] = {
-    val dir = metaDir(root)
-    if (!Files.isDirectory(dir)) return None
-    val versions = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+  private def versions(root: String): Vector[Int] =
+    Fs.list(metaDir(root))
       .collect { case s if s.matches("v\\d+\\.json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt
       }
-      .toVector
-    if (versions.isEmpty) None
-    else Some(read(root, versions.max))
+      .sorted
+
+  /** Latest committed snapshot, if any. Ignores torn .tmp files. */
+  def latest(root: String): Option[Manifest] = {
+    val vs = versions(root)
+    if (vs.isEmpty) None else Some(read(root, vs.max))
   }
 
-  def read(root: String, id: Int): Manifest = {
-    val json = new String(
-      Files.readAllBytes(metaDir(root).resolve(s"v$id.json")), "UTF-8")
-    fromJson(json)
-  }
+  def read(root: String, id: Int): Manifest =
+    fromJson(new String(Fs.readAllBytes(s"${metaDir(root)}/v$id.json"), "UTF-8"))
 
   /** Expire snapshots older than `retain` generations, Iceberg-style:
     * delete their frontier dirs plus any seen-delta / bloom dirs no longer
@@ -81,33 +77,21 @@ object Snapshot {
     * files via hard links, so deleting a superseded dir only unlinks.
     */
   def expire(root: String, retain: Int = 3): Unit = {
-    val dir = metaDir(root)
-    if (!Files.isDirectory(dir)) return
-    val manifests = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d+\\.json") =>
-        s.stripPrefix("v").stripSuffix(".json").toInt
-      }
-      .toVector.sorted
-    val retained = manifests.takeRight(retain).map(read(root, _))
-    val referenced: Set[String] =
-      retained.flatMap(m => m.seenDirs ++ Vector(m.bloomDir, m.frontierDir)).toSet
-    manifests.dropRight(retain).foreach { id =>
-      val m = read(root, id)
-      (Vector(m.frontierDir, m.bloomDir) ++ m.seenDirs)
+    val vs = versions(root)
+    val retained = vs.takeRight(retain).map(read(root, _))
+    val referenced: Set[String] = retained.flatMap(stateDirs).toSet
+    vs.dropRight(retain).foreach { id =>
+      stateDirs(read(root, id))
         .filterNot(referenced.contains)
-        .foreach { d =>
-          val p = Paths.get(d)
-          if (Files.isDirectory(p)) deleteRecursively(p)
-        }
+        .foreach { d => if (Fs.exists(d)) Fs.delete(d) }
     }
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+  /** Every state dir a manifest references that expiry may reclaim once
+    * unreferenced (parquet DATA outputs — attempts, metrics — are kept).
+    */
+  private def stateDirs(m: Manifest): Vector[String] =
+    Vector(m.frontierDir, m.bloomDir) ++ m.seenDirs
 
   // --- tiny hand-rolled JSON (flat schema, controlled strings) ---
 
