@@ -17,10 +17,11 @@ import org.apache.spark.util.sketch.BloomFilter
   * North-rule requirement: "URL-seen is a partitioned Bloom/cuckoo filter
   * keyed by xxHash64 of canonicalized URLs sharded by host-hash". The Bloom
   * is a PREFILTER only — the authoritative membership check is the exact
-  * anti-join against the seen shards (a Bloom false positive must not drop a
-  * URL; see SURVEY.md §7.4). Reference analog: the in-memory
-  * `old_item_ids: Set[str]` exclusion (medcrawler/base.py:348) — exact there,
-  * exact here; the Bloom just keeps the 10^10-scale shuffle small.
+  * per-bucket [[KeyLog]] run probe (a Bloom false positive must not drop a
+  * URL, and an absent filter must not veto the exact probe; see SURVEY.md
+  * §7.4). Reference analog: the in-memory `old_item_ids: Set[str]` exclusion
+  * (medcrawler/base.py:348) — exact there, exact here; the Bloom keeps the
+  * probe O(1) for the common not-seen case.
   */
 object Bloom {
 
@@ -103,20 +104,6 @@ object Bloom {
     }
   }
 
-  /** `(hostBucket, urlHash) → mightContain` probe over a bloom-state dir.
-    * Each executor lazily loads ONLY the bucket files its partitions
-    * actually probe (cached per (dir, bucket) — a stable key, since a
-    * bloom dir is immutable once committed). Buckets with no file yet ⇒
-    * nothing seen ⇒ false. No driver-side map, no full broadcast: at
-    * 10^10 keys the total filter state is ~9 GB, which must never ship to
-    * every executor every round.
-    */
-  def mightContainCol(dir: String)(bucket: Column, hash: Column): Column = {
-    val f = udf { (b: Int, h: Long) =>
-      BloomCache.get(dir, b).exists(_.mightContainLong(h))
-    }
-    f(bucket, hash)
-  }
 }
 
 /** Executor-local bucket-file cache for bloom probes: deserialize each

@@ -16,11 +16,12 @@ import org.apache.spark.storage.StorageLevel
   * Catalyst rounds over snapshot tables. One round is one declarative
   * pipeline (physical plan target in SURVEY.md §4):
   *
-  *   frontier ──bloom prefilter──▶ anti-join seen shards (authoritative)
-  *     ──broadcast policy join──▶ robots filter ──window rank per host──▶
-  *     per-host quota ──(rare) global budget──▶ schedule
+  *   frontier ──broadcast policy join──▶ robots filter ──window rank per
+  *     host──▶ per-host quota ──(rare) global budget──▶ schedule
   *     ──salted repartition──▶ mapPartitions synthetic fetch
-  *     ──explode outlinks──▶ OPIC cash aggregation ──▶ next frontier
+  *     ──explode outlinks──▶ OPIC cash aggregation
+  *     ──executor-local seen probe (bloom + exact KeyLog runs)──▶
+  *     next frontier
   *
   * Determinism contract (SURVEY.md §7.3, mirrored by [[graft.core.RefOracle]]):
   * schedule order = (round ASC, priority DESC, host ASC, urlHash ASC); OPIC
@@ -32,9 +33,12 @@ import org.apache.spark.storage.StorageLevel
   * Scale notes (100 TB / 10^10-frontier design):
   *  - scheduling rounds never touch image `bytes` (they live only in the
   *    fetched table; Parquet column pruning keeps scans narrow);
-  *  - the seen table is append-only deltas partitioned by hostBucket — the
-  *    round-start anti-join is bucket-co-partitioned and Bloom-prefiltered,
-  *    so only probable duplicates shuffle;
+  *  - the seen table is NEVER scanned or shuffled by a round: membership is
+  *    an executor-local probe (per-bucket Bloom prefilter + exact sorted
+  *    [[KeyLog]] runs, LSM-compacted); the queryable parquet deltas exist
+  *    for consumers and compaction only. There is no round-start seen check
+  *    at all — frontier ∩ live-seen = ∅ is an engine invariant shared with
+  *    the oracle;
   *  - the global-budget sort runs ONLY when the remaining budget is smaller
   *    than the round (last round) — steady-state rounds have no global
   *    ordering bottleneck;
@@ -118,13 +122,6 @@ object CrawlEngine {
     org.apache.spark.sql.types.StructField("hostBucket",
       org.apache.spark.sql.types.IntegerType, nullable = false)))
 
-  /** Live-seen view at round `r`: with a TTL, entries older than ttlRounds
-    * stop excluding their URL (refetch semantics); ttl = 0 ⇒ seen-forever.
-    */
-  private def liveSeen(df: DataFrame, r: Int, ttlRounds: Int): DataFrame =
-    if (ttlRounds <= 0) df
-    else df.where(lit(r) - col("seenRound") < ttlRounds)
-
   private[engine] def readSeen(spark: SparkSession, dirs: Seq[String]): DataFrame =
     dirs.map(d => spark.read.schema(seenSchema).option("basePath", d).parquet(d))
       .reduce(_ unionByName _)
@@ -203,7 +200,8 @@ object CrawlEngine {
     val bloomDir = s"$outDir/bloom/r0"
     Bloom.init(bloomDir)
     val m0 = Snapshot.Manifest(0, -1, -1, 0L, fDir, Vector.empty, Vector.empty,
-      Vector.empty, Vector.empty, bloomDir, fCount, 0L, 0L, done = fCount == 0)
+      Vector.empty, Vector.empty, Vector.empty, bloomDir, fCount, 0L, 0L,
+      done = fCount == 0)
     Snapshot.commit(outDir, m0)
     loop(spark, spec, cfg, outDir, m0)
   }
@@ -270,25 +268,20 @@ object CrawlEngine {
     val eligible = frontier.where($"notBeforeRound" <= r).toDF()
     val timeDeferred = frontier.where($"notBeforeRound" > r)
 
-    // ---- seen exclusion: Bloom prefilter + authoritative anti-join ----
-    // (P5 analog: `if pmid not in old_item_ids`, medcrawler/pubmed.py:185-187)
-    val unseen: DataFrame =
-      if (m.seenDirs.isEmpty) eligible
-      else {
-        val mc = Bloom.mightContainCol(m.bloomDir)($"hostBucket", $"urlHash")
-        val tagged = eligible.withColumn("maybeSeen", mc)
-        val clean = tagged.where(!$"maybeSeen").drop("maybeSeen")
-        // TTL: only LIVE entries exclude; expired ones are Bloom false
-        // positives that this exact anti-join clears (refetch path)
-        val seenDf = liveSeen(readSeen(spark, m.seenDirs), r, cfg.ttlRounds)
-        val checked = tagged.where($"maybeSeen").drop("maybeSeen")
-          .join(seenDf, Seq("urlHash", "hostBucket"), "left_anti")
-        clean.unionByName(checked)
-      }
+    // NO round-start seen check: frontier ∩ live-seen = ∅ is an engine
+    // INVARIANT (the oracle has none either, RefOracle.scala round loop).
+    // Every URL enters the frontier through an exclusion point — seed init
+    // of a fresh dir, or the expansion-time probe below — and leaves it the
+    // round it is scheduled/blocked, which is exactly when it can enter
+    // seen; a TTL-dead stamp can never come back to life (r only grows).
+    // The seen set is therefore NEVER scanned or shuffled in a round
+    // (the round-2 scale-killer): seen exclusion runs ONCE, at expansion,
+    // as an executor-local Bloom + exact KeyLog probe (P5 analog:
+    // `if pmid not in old_item_ids`, medcrawler/pubmed.py:185-187).
 
     // ---- robots + politeness dimension (J2: broadcast hash join) ----
     val policyDf = spark.createDataset(spec.hostPolicies).toDF()
-    val joined = unseen
+    val joined = eligible
       .join(broadcast(policyDf), Seq("host"), "left")
       .withColumn("minIntervalMs", coalesce($"minIntervalMs", lit(340)))
       .withColumn("quotaPerRound", coalesce($"quotaPerRound", lit(3)))
@@ -472,19 +465,18 @@ object CrawlEngine {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // new URLs: not seen (incl. this round's delta) and not pending.
-    // One bucket-prunable anti-join against the union of both exclusion
-    // sets (one shuffle/stage instead of two). The delta side comes from
-    // the in-memory lineage (pruned attempts re-read), so the frontier job
-    // does not wait for the seen write.
-    // liveness pinned at the CURRENT round r (same instant as the
-    // anti-join above; the oracle mirrors this exactly)
-    val seenAll = liveSeen(
-      if (m.seenDirs.isEmpty) seenDelta
-      else readSeen(spark, m.seenDirs)
-        .unionByName(seenDelta.select("urlHash", "seenRound", "hostBucket")),
-      r, cfg.ttlRounds).select("urlHash", "hostBucket")
-    val excluded = seenAll.unionByName(pending.select("urlHash", "hostBucket"))
+    // The COMMITTED seen state is probed executor-locally (Bloom prefilter
+    // + exact KeyLog runs, liveness pinned at the CURRENT round r — the
+    // oracle's isSeen(h, round)); the seen table itself is never scanned or
+    // shuffled. The remaining anti-join covers this round's seen delta
+    // (O(round)) and the pending frontier entries.
+    val notSeen =
+      !KeyLog.seenLiveCol(m.bloomDir, m.seenKeyDirs, r, cfg.ttlRounds)(
+        $"hostBucket", $"urlHash")
+    val excluded = seenDelta.select("urlHash", "hostBucket")
+      .unionByName(pending.select("urlHash", "hostBucket"))
     val fresh = newEntries
+      .where(notSeen)
       .join(excluded, Seq("urlHash", "hostBucket"), "left_anti")
 
     // 429-analog WHOLE-HOST deferral: every frontier entry of a host that
@@ -524,11 +516,17 @@ object CrawlEngine {
 
     val seenF = Future(ph("writeSeen") {
       // one task per bucket -> one file per partition dir (aligned with the
-      // anti-join's bucket pruning; avoids numBuckets x numPartitions files)
+      // key-run bucketing; avoids numBuckets x numPartitions files)
       seenDelta.repartition(cfg.numBuckets, $"hostBucket")
         .write.mode("overwrite").partitionBy("hostBucket").parquet(seenDir)
       parquetRowCount(spark, seenDir)
     })
+    // exact-probe sidecar of the same delta: per-bucket sorted key runs
+    // (the LSM side of the URL-seen test; O(round) write)
+    val seenKeyDir = s"$outDir/seen_keys/r$r"
+    val seenKeysF = Future(ph("writeSeenKeys")(
+      KeyLog.write(seenDelta.select($"hostBucket", $"urlHash",
+        $"seenRound".as("aux")), seenKeyDir, cfg.numBuckets)))
     val frontierF = Future(ph("writeFrontier") {
       nextFrontier.write.mode("overwrite").parquet(nextFrontierDir)
       // row counts come from parquet footers (driver-side metadata read, no
@@ -577,6 +575,7 @@ object CrawlEngine {
     val nextFrontierCount = Await.result(frontierF, Duration.Inf)
     Await.result(metricsF, Duration.Inf)
     Await.result(bloomF, Duration.Inf)
+    Await.result(seenKeysF, Duration.Inf): Unit
     val bloomDir = bloomDirNew
 
     joined.unpersist(); candidates.unpersist(); ranked.unpersist()
@@ -586,8 +585,8 @@ object CrawlEngine {
     // per-round union (and its file listing) quadratic over a long crawl --
     // the Iceberg-compaction analog; the manifest swaps N delta dirs for one.
     // Empty deltas (fully rate-limited round) never enter the manifest.
-    val (newSeenDirs, newSeenCount) =
-      if (seenDeltaCount == 0L) (m.seenDirs, m.seenCount)
+    val (newSeenDirs, newSeenKeyDirs, newSeenCount) =
+      if (seenDeltaCount == 0L) (m.seenDirs, m.seenKeyDirs, m.seenCount)
       else if (m.seenDirs.size + 1 >= 16) {
         val compactDir = s"$outDir/seen/compact-r$r"
         // keep the NEWEST stamp per key: with a TTL a refetched URL may
@@ -597,12 +596,21 @@ object CrawlEngine {
           .agg(max($"seenRound").as("seenRound"))
           .repartition(cfg.numBuckets, $"hostBucket")
           .write.mode("overwrite").partitionBy("hostBucket").parquet(compactDir)
+        // rebuild the exact-probe runs from the compacted parquet so probes
+        // touch ONE run per bucket again (LSM major compaction)
+        val compactKeyDir = s"$outDir/seen_keys/compact-r$r"
+        KeyLog.write(
+          spark.read.schema(seenSchema).option("basePath", compactDir)
+            .parquet(compactDir)
+            .select($"hostBucket", $"urlHash", $"seenRound".as("aux")),
+          compactKeyDir, cfg.numBuckets)
         // seenCount between compactions is a cumulative STAMP count (with a
         // TTL a refetched URL stamps several deltas); compaction collapses
         // duplicates, so re-baseline from the compacted footers — exact
         // distinct-key count, no job
-        (Vector(compactDir), parquetRowCount(spark, compactDir))
-      } else (m.seenDirs :+ seenDir, m.seenCount + seenDeltaCount)
+        (Vector(compactDir), Vector(compactKeyDir), parquetRowCount(spark, compactDir))
+      } else (m.seenDirs :+ seenDir, m.seenKeyDirs :+ seenKeyDir,
+        m.seenCount + seenDeltaCount)
 
     val totalScheduled = m.totalScheduled + schedCount
     Snapshot.Manifest(
@@ -612,6 +620,7 @@ object CrawlEngine {
       totalScheduled = totalScheduled,
       frontierDir = nextFrontierDir,
       seenDirs = newSeenDirs,
+      seenKeyDirs = newSeenKeyDirs,
       fetchedDirs = if (fetchedOkCount > 0) m.fetchedDirs :+ attemptsDir else m.fetchedDirs,
       scheduleDirs = if (schedCount > 0) m.scheduleDirs :+ attemptsDir else m.scheduleDirs,
       metricsDirs = m.metricsDirs :+ metricsDir,

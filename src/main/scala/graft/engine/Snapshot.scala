@@ -24,9 +24,13 @@ package graft.engine
   */
 object Snapshot {
 
-  /** @param seenCount cumulative seen-stamp count between compactions (a TTL
-    *                  refetch re-stamps the same URL); re-baselined to the
-    *                  exact distinct-key count at each compaction
+  /** @param seenDirs    queryable parquet seen deltas (hostBucket-partitioned)
+    * @param seenKeyDirs [[KeyLog]] run dirs — the exact-probe sidecar of the
+    *                    same deltas, in LOCKSTEP with seenDirs (one run dir
+    *                    per non-empty delta / compaction)
+    * @param seenCount   cumulative seen-stamp count between compactions (a TTL
+    *                    refetch re-stamps the same URL); re-baselined to the
+    *                    exact distinct-key count at each compaction
     */
   case class Manifest(
       snapshotId: Int,
@@ -35,6 +39,7 @@ object Snapshot {
       totalScheduled: Long,
       frontierDir: String,
       seenDirs: Vector[String],
+      seenKeyDirs: Vector[String],
       fetchedDirs: Vector[String],
       scheduleDirs: Vector[String],
       metricsDirs: Vector[String],
@@ -91,7 +96,7 @@ object Snapshot {
     * unreferenced (parquet DATA outputs — attempts, metrics — are kept).
     */
   private def stateDirs(m: Manifest): Vector[String] =
-    Vector(m.frontierDir, m.bloomDir) ++ m.seenDirs
+    Vector(m.frontierDir, m.bloomDir) ++ m.seenDirs ++ m.seenKeyDirs
 
   // --- tiny hand-rolled JSON (flat schema, controlled strings) ---
 
@@ -103,7 +108,8 @@ object Snapshot {
   def toJson(m: Manifest): String =
     s"""{"snapshotId":${m.snapshotId},"parentId":${m.parentId},"round":${m.round},
        |"totalScheduled":${m.totalScheduled},"frontierDir":${q(m.frontierDir)},
-       |"seenDirs":${arr(m.seenDirs)},"fetchedDirs":${arr(m.fetchedDirs)},
+       |"seenDirs":${arr(m.seenDirs)},"seenKeyDirs":${arr(m.seenKeyDirs)},
+       |"fetchedDirs":${arr(m.fetchedDirs)},
        |"scheduleDirs":${arr(m.scheduleDirs)},"metricsDirs":${arr(m.metricsDirs)},
        |"bloomDir":${q(m.bloomDir)},"frontierCount":${m.frontierCount},
        |"seenCount":${m.seenCount},"fetchedCount":${m.fetchedCount},"done":${m.done}}"""
@@ -133,6 +139,7 @@ object Snapshot {
     Manifest(
       num("snapshotId").toInt, num("parentId").toInt, num("round").toInt,
       num("totalScheduled"), str("frontierDir"), strArr("seenDirs"),
+      strArr("seenKeyDirs"),
       strArr("fetchedDirs"), strArr("scheduleDirs"), strArr("metricsDirs"),
       str("bloomDir"), num("frontierCount"), num("seenCount"),
       num("fetchedCount"), bool("done"))

