@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ImageOps, RelationalOps => R, StreamingOps => S, TextOps => T, VectorOps => V}
+import graft.operators.{ImageOps, RelationalOps => R, StreamingOps => S, TextOps => T, VectorOps => V, XmlOps => X}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory
@@ -33,6 +33,7 @@ object SparkEntry {
     "q_recent" -> (R.qRecent _),
     "q_json_extract" -> (R.qJsonExtract _),
     "q_json_struct" -> (R.qJsonStruct _),
+    "q_xml_struct" -> (X.qXmlStruct _),
     // text pipeline (training-data ops)
     "dedup_exact" -> (T.dedupExact _),
     "dedup_ngram" -> (T.dedupNgram _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "q_recent" -> R.qRecentSql,
     "q_json_extract" -> R.qJsonExtractSql,
     "q_json_struct" -> R.qJsonStructSql,
+    "q_xml_struct" -> X.qXmlStructSql,
     "dedup_exact" -> T.dedupExactSql,
     "dedup_ngram" -> T.dedupNgramSql,
     "dedup_minhash_lsh" -> T.dedupMinhashLshSql,
