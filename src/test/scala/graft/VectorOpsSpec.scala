@@ -63,7 +63,58 @@ class VectorOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truth.nonEmpty)
     val recall = (truth & ann).size.toDouble / truth.size
-    info(f"embed_ann_lsh recall@3 = $recall%.3f")
+    val n = e.count()
+    val frac = VectorOps.annCandidates(spark, dir).count().toDouble / (50.0 * (n - 1))
+    info(f"embed_ann_lsh recall@3 = $recall%.3f, candidate fraction = $frac%.3f " +
+      "(random near-orthogonal corpus: LSH's worst case, fraction is " +
+      "necessarily high at small N)")
     assert(recall >= 0.85, f"recall $recall%.3f < 0.85")
+  }
+
+  test("embed_ann_lsh on clustered embeddings: fraction < 10% at recall ≥ 0.85") {
+    // The regime LSH exists for: clustered embeddings (real text/image
+    // encoders cluster hard). 256 clusters × 50 members, within-cluster
+    // cosine ~0.9. The adaptive code length (annBits ~ log2 N) keeps bucket
+    // occupancy bounded, so the candidate stage probes a SMALL fraction of
+    // the pair space while multiprobe holds recall.
+    import spark.implicits._
+    val n = 12800
+    val members = 50
+    val cdir = java.nio.file.Files.createTempDirectory("ann-clustered").toString
+    spark.range(n).map { id =>
+      val cluster = id / members
+      val crng = new java.util.SplittableRandom(1000003L * (cluster + 1))
+      val center = Array.fill(64)(crng.nextDouble() * 2 - 1)
+      val mrng = new java.util.SplittableRandom(7L * id + 13)
+      val v = center.map(c => (c + 0.5 * (mrng.nextDouble() * 2 - 1)).toFloat)
+      (id, v, cluster.toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+
+    // brute top-3 truth for the query set (vec_id < 50 = one full cluster)
+    val e = spark.read.parquet(s"$cdir/embeddings.parquet")
+    val q = e.where($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("ce"))
+    val sim = expr(
+      """round(aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)),
+        | cast(0 as double), (acc, v) -> acc + v)
+        | / (sqrt(aggregate(qe, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))
+        |  * sqrt(aggregate(ce, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))), 6)"""
+        .stripMargin)
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    val truth = q.crossJoin(c).where($"query_id" =!= $"neighbor_id")
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w)).where($"rank" <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = VectorOps.embedAnnLsh(spark, cdir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ann).size.toDouble / truth.size
+    val frac = VectorOps.annCandidates(spark, cdir).count().toDouble / (50.0 * (n - 1))
+    info(f"clustered ann_lsh recall@3 = $recall%.3f, candidate fraction = $frac%.3f")
+    assert(recall >= 0.85, f"recall $recall%.3f < 0.85")
+    assert(frac < 0.10, f"candidate fraction $frac%.3f >= 0.10 — LSH is not pruning")
   }
 }
