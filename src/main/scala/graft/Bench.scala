@@ -73,7 +73,8 @@ object Bench {
         numBuckets = 16)
       val out = java.nio.file.Files.createTempDirectory("bench-crawl").toString
       val t0 = System.nanoTime()
-      val res = CrawlEngine.run(spark, spec, spec.allSeeds, cfg, out)
+      val res = CrawlEngine.run(spark, spec,
+        CrawlEngine.synthSeeds(spark, spec), cfg, out)
       val secs = (System.nanoTime() - t0) / 1e9
       deleteRecursively(new java.io.File(out)) // ~3.5 GB of payload per run
       (res.totalScheduled, secs)
@@ -135,21 +136,24 @@ object Bench {
     results("fetch_raw_urls_per_sec_4t") = raw4
     results("fetch_raw_urls_per_sec_16t") = raw16
 
-    // best-of-2 per level: single-box wall times vary (page cache, GC
-    // phase); best-of is the standard estimator for noisy single-machine
-    // benchmarks. Levels interleaved so neither benefits from running last.
-    def best(cores: Int): (Long, Double) = {
-      val runs = (1 to 2).map { _ =>
-        val (n, t) = crawlRound(cores, scale)
-        System.err.println(f"[bench] crawl ${cores}c: $n urls in $t%.1fs = ${n / t}%.0f urls/s")
-        (n, t)
-      }
-      runs.minBy(_._2)
+    // best-of-2 per level, LEVELS INTERLEAVED (4,16,32 then 4,16,32): no
+    // level benefits from running last (page-cache/JIT/clock drift), and the
+    // 32c point gets the same best-of-2 estimator as 4c/16c instead of a
+    // single unrepeated run. Best-of is the standard estimator for noisy
+    // single-machine benchmarks (page cache, GC phase).
+    val levels = Seq(4, 16, 32)
+    val runs = scala.collection.mutable.Map.empty[Int, List[(Long, Double)]]
+      .withDefaultValue(Nil)
+    for (pass <- 1 to 2; c <- levels) {
+      val (n, t) = crawlRound(c, scale)
+      System.err.println(
+        f"[bench] crawl ${c}c pass $pass: $n urls in $t%.1fs = ${n / t}%.0f urls/s")
+      runs(c) = (n, t) :: runs(c)
     }
+    def best(cores: Int): (Long, Double) = runs(cores).minBy(_._2)
     val (n4, t4) = best(4)
     val (n16, t16) = best(16)
-    val (n32, t32) = crawlRound(32, scale)
-    System.err.println(f"[bench] crawl 32c: $n32 urls in $t32%.1fs = ${n32 / t32}%.0f urls/s")
+    val (n32, t32) = best(32)
 
     val thr4 = n4 / t4
     val thr16 = n16 / t16

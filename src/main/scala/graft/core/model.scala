@@ -75,6 +75,10 @@ case class CrawledImage(
   *                 the whole host is deferred retryAfter rounds
   *                 (Retry-After analog, medcrawler/base.py:296-301)
   * @param retryAfter rounds to defer (rate-limited failures only, else 0)
+  * @param fetchedAtMs fetch start time in MONOTONIC milliseconds (same
+  *                 clock as `System.nanoTime`, arbitrary epoch — deltas are
+  *                 exact, wall jumps impossible). 0 when wall-clock pacing
+  *                 is off, keeping unpaced runs byte-deterministic
   */
 case class FetchResult(
     url: String,
@@ -97,7 +101,8 @@ case class FetchResult(
     fmt: String,
     caption: String,
     phash: Long,
-    outlinks: Seq[String])
+    outlinks: Seq[String],
+    fetchedAtMs: Long = 0L)
 
 /** Per-host politeness + robots dimension (broadcast-joined; tiny).
   * Ref: per-API budgets in CrawlerConfig, medcrawler/config.py:70-82.
@@ -145,6 +150,15 @@ case class HostPolicy(
   *                     0 = seen-forever (fetch-once). The Bloom prefilter is
   *                     unaffected: expired entries become false positives
   *                     that the exact (liveness-filtered) anti-join clears.
+  * @param paceWallClock when true, the fetch stage enforces each host's
+  *                     minIntervalMs IN REAL TIME: consecutive fetch STARTS
+  *                     against one host are spaced ≥ minIntervalMs apart
+  *                     (ref: wall-clock rate limiter, medcrawler/
+  *                     base.py:266-280, gated by tests/test_base.py:81-102).
+  *                     Off by default — the per-round quota already models
+  *                     the same budget (quota = roundMs/minIntervalMs)
+  *                     without sleeping, and results are identical either
+  *                     way; enable it when the engine fronts a live server
   */
 case class CrawlConfig(
     maxResults: Long = 1000L,
@@ -155,7 +169,8 @@ case class CrawlConfig(
     roundMs: Int = 1000,
     bloomExpectedItems: Long = 0L,
     bloomFpp: Double = 0.03,
-    ttlRounds: Int = 0)
+    ttlRounds: Int = 0,
+    paceWallClock: Boolean = false)
 
 /** Per-(round, host) metrics row — the fetch/dedup/politeness-wait metrics
   * table required by the north rule. Ref analog: batch success/failure tally,

@@ -39,6 +39,13 @@ import org.apache.spark.storage.StorageLevel
   *    for consumers and compaction only. There is no round-start seen check
   *    at all — frontier ∩ live-seen = ∅ is an engine invariant shared with
   *    the oracle;
+  *  - the frontier is an append-only DELTA LOG (add deltas + exact
+  *    (urlHash, addedSeq) tombstone runs): a round writes O(scheduled +
+  *    discovered) bytes, never O(frontier); unchanged entries are never
+  *    read-modified-rewritten. Expansion-time dedup against the frontier is
+  *    the same executor-local probe pattern, so a steady-state round has NO
+  *    shuffle join at all — its only exchanges are the per-host quota
+  *    window and the O(round) OPIC aggregation;
   *  - the global-budget sort runs ONLY when the remaining budget is smaller
   *    than the round (last round) — steady-state rounds have no global
   *    ordering bottleneck;
@@ -47,7 +54,9 @@ import org.apache.spark.storage.StorageLevel
   */
 object CrawlEngine {
 
-  /** Narrow row shipped to the fetcher — no payload columns. */
+  /** Narrow row shipped to the fetcher — no payload columns.
+    * `minIntervalMs` rides along for the wall-clock pacer (cfg.paceWallClock).
+    */
   case class FetchTask(
       canonUrl: String,
       urlHash: Long,
@@ -57,7 +66,8 @@ object CrawlEngine {
       priority: Double,
       seedId: String,
       path: Seq[String],
-      attempt: Int)
+      attempt: Int,
+      minIntervalMs: Int)
 
   case class CrawlResult(
       outDir: String,
@@ -91,6 +101,18 @@ object CrawlEngine {
           col("seedId").as("seed_id"), col("path"), col("depth"),
           col("priority"), col("round"))
 
+    /** Full fetch-attempt log: every scheduled URL with its outcome, typed
+      * failure kind, and (when cfg.paceWallClock) the monotonic fetch-start
+      * stamp — the error side-output (P3) and pacing audit trail. Column
+      * pruning keeps `bytes` out of any scan that doesn't select it.
+      */
+    def attempts(spark: SparkSession): DataFrame =
+      if (manifest.scheduleDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          CrawlEngine.attemptsSchema)
+      else CrawlEngine.readAttempts(spark, manifest.scheduleDirs)
+
     def seen(spark: SparkSession): DataFrame =
       if (manifest.seenDirs.isEmpty)
         spark.createDataFrame(
@@ -101,6 +123,34 @@ object CrawlEngine {
     def metrics(spark: SparkSession): DataFrame =
       if (manifest.metricsDirs.isEmpty) spark.emptyDataFrame
       else spark.read.parquet(manifest.metricsDirs: _*)
+
+    /** Read-through point lookup (ref `get_item(s)` serving an
+      * already-fetched record from the TTL cache without a network round,
+      * medcrawler/base.py:370-386; cache-speedup gate
+      * tests/integration/test_performance.py:84-85): canonicalize the
+      * requested URLs and serve their fetched rows straight from the
+      * committed snapshot — NO crawl round, NO fetch. Returns
+      * (hits in the [[fetched]] schema — latest round wins under TTL
+      * refetch — and the canonical URLs with no cached row).
+      *
+      * Scale shape: the keys broadcast as an IN-list predicate, so the scan
+      * is parquet row-group-pruned on image_id min/max stats and `bytes`
+      * decodes only for matching rows; misses cost a driver set-diff over
+      * the requested keys, never a scan of the miss space. Batch hydration
+      * of misses = seed a round with them ([[CrawlEngine.run]]).
+      */
+    def lookup(spark: SparkSession, urls: Seq[String]): (DataFrame, Seq[String]) = {
+      import org.apache.spark.sql.expressions.Window
+      val canons = urls.map(Canon.canonicalize).distinct
+      if (manifest.fetchedDirs.isEmpty) return (fetched(spark), canons)
+      val w = Window.partitionBy(col("image_id")).orderBy(col("round").desc)
+      val hits = fetched(spark)
+        .where(col("image_id").isin(canons: _*))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .drop("rn")
+      val found = hits.select("image_id").collect().map(_.getString(0)).toSet
+      (hits, canons.filterNot(found))
+    }
 
     private def emptySchedule(spark: SparkSession): DataFrame =
       spark.emptyDataFrame
@@ -126,6 +176,32 @@ object CrawlEngine {
     dirs.map(d => spark.read.schema(seenSchema).option("basePath", d).parquet(d))
       .reduce(_ unionByName _)
 
+  /** Frontier rows on disk: FrontierEntry columns + addedSeq (the round
+    * that wrote the version; -1 for the seed init). A (urlHash, addedSeq)
+    * pair identifies one immutable VERSION — the tombstone log removes
+    * exact pairs.
+    */
+  private val frontierSchema = org.apache.spark.sql.types.StructType(
+    org.apache.spark.sql.Encoders.product[FrontierEntry].schema.fields :+
+      org.apache.spark.sql.types.StructField("addedSeq",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+
+  private val frontierCols: Seq[String] = frontierSchema.fieldNames.toSeq
+
+  /** LIVE frontier = union of add deltas minus tombstoned versions. The
+    * tombstone filter is an executor-local exact pair probe — resolving the
+    * delta log costs NO shuffle, NO join, just the scan.
+    */
+  private[engine] def readFrontier(spark: SparkSession, m: Snapshot.Manifest): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val adds = m.frontierAddDirs
+      .map(d => spark.read.schema(frontierSchema).parquet(d))
+      .reduce(_ unionByName _)
+    if (m.frontierRemDirs.isEmpty) adds
+    else adds.where(!KeyLog.removedPairCol(m.frontierRemDirs)(
+      col("hostBucket"), col("urlHash"), col("addedSeq")))
+  }
+
   /** Union of per-round attempts dirs. Each is partitioned by `ok`, so every
     * dir needs its own basePath (multiple partitioned roots cannot share one
     * scan's partition inference). The schema is PINNED to the FetchResult
@@ -149,13 +225,48 @@ object CrawlEngine {
   private val hostUdf = udf((s: String) => Canon.hostOf(s))
   private val pathUdf = udf((s: String) => Canon.pathOf(s))
 
-  /** Start a fresh crawl: initialize the snapshot log from the seed list and
-    * loop rounds until budget/frontier/round exhaustion.
+  /** Distributed synthetic seed generator: the [[CorpusSpec.allSeeds]]
+    * enumeration built ON THE EXECUTORS (range over hosts, pages expanded
+    * per task) — a 10^6+-seed benchmark frontier never materializes as a
+    * driver Seq or a task-serialized local collection. Produces exactly the
+    * same rows as `spec.allSeeds`.
+    */
+  def synthSeeds(spark: SparkSession, spec: CorpusSpec): Dataset[Seed] = {
+    import spark.implicits._
+    val total = (0 until spec.numHosts).map(spec.pagesOf).sum.toDouble
+    val sp = spec
+    spark
+      .range(0L, spec.numHosts.toLong, 1L,
+        math.max(1, math.min(spec.numHosts, spark.sparkContext.defaultParallelism)))
+      .flatMap { h =>
+        val hi = h.toInt
+        (0 until sp.pagesOf(hi)).iterator
+          .map(p => Seed(s"seed-$hi-$p", sp.pageUrl(hi, p), 1.0 / total))
+      }
+  }
+
+  /** Convenience overload for small, driver-held seed lists (CLI, tests).
+    * At the 10^10-frontier design point seeds are a TABLE — use the
+    * `Dataset[Seed]` overload (or [[synthSeeds]]) so the list never rides
+    * inside task binaries.
     */
   def run(
       spark: SparkSession,
       spec: CorpusSpec,
       seeds: Seq[Seed],
+      cfg: CrawlConfig,
+      outDir: String): CrawlResult = {
+    import spark.implicits._
+    run(spark, spec, spark.createDataset(seeds), cfg, outDir)
+  }
+
+  /** Start a fresh crawl: initialize the snapshot log from the seed table
+    * and loop rounds until budget/frontier/round exhaustion.
+    */
+  def run(
+      spark: SparkSession,
+      spec: CorpusSpec,
+      seeds: Dataset[Seed],
       cfg: CrawlConfig,
       outDir: String): CrawlResult = {
     import spark.implicits._
@@ -174,7 +285,7 @@ object CrawlEngine {
     // a min(struct) aggregate, not a window — partial aggregation combines
     // map-side, so the dedup is one shuffle of combined groups with no
     // per-partition sort
-    val seedDf = spark.createDataset(seeds)
+    val seedDf = seeds
       .withColumn("canonUrl", canonUdf($"url"))
       .withColumn("urlHash", xxhash64($"canonUrl"))
     val frontier0 = seedDf
@@ -188,19 +299,25 @@ object CrawlEngine {
         lit(0).as("depth"), negate($"top.negPriority").as("priority"),
         $"top.seedId".as("seedId"),
         typedLit(Seq.empty[String]).as("path"), lit(0).as("attempt"),
-        lit(0).as("notBeforeRound"))
-      .as[FrontierEntry]
+        lit(0).as("notBeforeRound"), lit(-1).as("addedSeq"))
 
     val t0 = System.nanoTime()
-    val fDir = s"$outDir/frontier/r0"
+    val fDir = s"$outDir/frontier/a-init"
     frontier0.write.mode("overwrite").parquet(fDir)
+    val fkDir = s"$outDir/frontier_keys/a-init"
+    KeyLog.write(
+      spark.read.schema(frontierSchema).parquet(fDir)
+        .select($"hostBucket", $"urlHash", $"addedSeq".as("aux")),
+      fkDir, cfg.numBuckets)
     if (sys.env.contains("GRAFT_VERBOSE"))
       println(f"[init] seed frontier write: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     val fCount = parquetRowCount(spark, fDir)
     val bloomDir = s"$outDir/bloom/r0"
     Bloom.init(bloomDir)
-    val m0 = Snapshot.Manifest(0, -1, -1, 0L, fDir, Vector.empty, Vector.empty,
-      Vector.empty, Vector.empty, Vector.empty, bloomDir, fCount, 0L, 0L,
+    val m0 = Snapshot.Manifest(0, -1, -1, 0L,
+      Vector(fDir), Vector(fkDir), Vector.empty,
+      Vector.empty, Vector.empty, Vector.empty,
+      Vector.empty, Vector.empty, bloomDir, fCount, 0L, 0L,
       done = fCount == 0)
     Snapshot.commit(outDir, m0)
     loop(spark, spec, cfg, outDir, m0)
@@ -264,9 +381,14 @@ object CrawlEngine {
       v
     }
 
-    val frontier = spark.read.parquet(m.frontierDir).as[FrontierEntry]
-    val eligible = frontier.where($"notBeforeRound" <= r).toDF()
-    val timeDeferred = frontier.where($"notBeforeRound" > r)
+    val frontier = readFrontier(spark, m)
+    val eligible = frontier.where($"notBeforeRound" <= r)
+    // rows deferred past this round are NEVER touched: not read into the
+    // pipeline (parquet min/max row-group stats skip far-future backoff
+    // bands), not rewritten — they simply stay in their add delta. Only the
+    // 429 whole-host deferral path looks at them, and only for the limited
+    // hosts' rows.
+    lazy val timeDeferred = frontier.where($"notBeforeRound" > r)
 
     // NO round-start seen check: frontier ∩ live-seen = ∅ is an engine
     // INVARIANT (the oracle has none either, RefOracle.scala round loop).
@@ -333,6 +455,7 @@ object CrawlEngine {
           .agg(coalesce(sum(least($"quotaPerRound".cast("long"), $"n")), lit(0L)))
           .as[Long].head())
     var truncatedSched: Option[DataFrame] = None
+    var deferredPersisted: Option[DataFrame] = None
     val (sched, budgetRejected) =
       if (keptCount < 0L || keptCount <= remaining) (quotaKept, spark.emptyDataFrame)
       else {
@@ -367,12 +490,24 @@ object CrawlEngine {
     // footers (no outcome-count job), and every downstream reader (seen
     // delta, retries, outlink expansion, fetched()) partition-prunes to
     // the half it needs.
-    ph("fetchAndWrite")(sched
+    val tasks = sched
       .select($"canonUrl", $"urlHash", $"host", $"hostBucket", $"depth",
-        $"priority", $"seedId", $"path", $"attempt")
+        $"priority", $"seedId", $"path", $"attempt", $"minIntervalMs")
       .as[FetchTask]
-      .repartition(fetchParallelism, $"host", pmod($"urlHash", lit(16)))
-      .mapPartitions { it => it.map(t => Fetcher.fetchOne(spec, t, r)) }
+    // Wall-clock pacing mode (ref rate limiter, medcrawler/base.py:266-280):
+    // a host's tasks must ALL land in one partition (no urlHash salt — the
+    // pacer's per-host clock is partition-local), and sorting the partition
+    // by a hash interleaves hosts so one host's politeness sleeps absorb the
+    // other hosts' fetch work instead of serializing behind it.
+    val fetchInput =
+      if (cfg.paceWallClock)
+        tasks.repartition(fetchParallelism, $"host")
+          .sortWithinPartitions(pmod($"urlHash", lit(1 << 20)))
+          .mapPartitions { it => Fetcher.paced(spec, it, r) }
+      else
+        tasks.repartition(fetchParallelism, $"host", pmod($"urlHash", lit(16)))
+          .mapPartitions { it => it.map(t => Fetcher.fetchOne(spec, t, r)) }
+    ph("fetchAndWrite")(fetchInput
       .write.mode("overwrite").option("compression", "uncompressed")
       .partitionBy("ok").parquet(attemptsDir))
 
@@ -399,21 +534,23 @@ object CrawlEngine {
     val seenDir = s"$outDir/seen/r$r"
 
     // retry re-enqueue with exponential backoff (ref wait_chain,
-    // medcrawler/base.py:136-154)
+    // medcrawler/base.py:136-154). Re-adds are NEW frontier versions
+    // (addedSeq = r); their scheduled originals are tombstoned this round.
     val retries = failRes
       .where($"failKind" === "transient" && $"attempt" + 1 < cfg.maxRetries)
       .select($"canonUrl".as("url"), $"canonUrl", $"urlHash", $"host",
         $"hostBucket", $"depth", $"priority", $"seedId", $"path",
         ($"attempt" + 1).as("attempt"),
         (lit(r) + least(pow(lit(2.0), ($"attempt" + 1).cast("double")), lit(8.0)))
-          .cast("int").as("notBeforeRound"))
+          .cast("int").as("notBeforeRound"), lit(r).as("addedSeq"))
 
     // 429-analog re-enqueue: attempt counter UNCHANGED, deferred by the
     // server-provided Retry-After analog
     val rateLimited = failRes.where($"failKind" === "ratelimited")
       .select($"canonUrl".as("url"), $"canonUrl", $"urlHash", $"host",
         $"hostBucket", $"depth", $"priority", $"seedId", $"path",
-        $"attempt", (lit(r) + $"retryAfter").as("notBeforeRound"))
+        $"attempt", (lit(r) + $"retryAfter").as("notBeforeRound"),
+        lit(r).as("addedSeq"))
 
     // ---- OPIC outlink expansion (UDTF analog: explode; A4 seen growth) ----
     // Cash is truncated to integer fixed-point BEFORE aggregation
@@ -452,53 +589,82 @@ object CrawlEngine {
         ($"priorityFp".cast("double") / lit(Opic.Scale)).as("priority"),
         $"rep.pSeed".as("seedId"),
         concat($"rep.pPath", array($"rep.parentCanon")).as("path"),
-        lit(0).as("attempt"), lit(r + 1).as("notBeforeRound"))
+        lit(0).as("attempt"), lit(r + 1).as("notBeforeRound"),
+        lit(r).as("addedSeq"))
 
-    // pending = everything staying in / returning to the frontier
-    val pending = timeDeferred.toDF()
-      .unionByName(toFrontierCols(quotaRejected))
-      .unionByName(
-        if (budgetRejected.isEmpty) emptyFrontier(spark)
-        else toFrontierCols(budgetRejected))
-      .unionByName(retries)
-      .unionByName(rateLimited)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // new URLs: not seen (incl. this round's delta) and not pending.
-    // The COMMITTED seen state is probed executor-locally (Bloom prefilter
-    // + exact KeyLog runs, liveness pinned at the CURRENT round r — the
-    // oracle's isSeen(h, round)); the seen table itself is never scanned or
-    // shuffled. The remaining anti-join covers this round's seen delta
-    // (O(round)) and the pending frontier entries.
+    // new URLs: not seen and not already in the frontier. BOTH exclusions
+    // are executor-local probes over committed state — the round-2 design
+    // had an anti-join here whose excluded side was O(frontier + seen):
+    //  - seen: Bloom prefilter + exact KeyLog runs, liveness pinned at the
+    //    CURRENT round r (the oracle's isSeen(h, round));
+    //  - frontier membership (the oracle's `frontier.contains`): some add
+    //    run holds a version of this urlHash that no tombstone has killed,
+    //    AS OF ROUND START — which is exactly right: every URL this round
+    //    marks seen (fetched ok / exhausted / blocked) or re-adds (retry /
+    //    rate-limit / host-deferral) was a live member at round start, so
+    //    round-local exclusion is fully covered and no join is needed.
     val notSeen =
       !KeyLog.seenLiveCol(m.bloomDir, m.seenKeyDirs, r, cfg.ttlRounds)(
         $"hostBucket", $"urlHash")
-    val excluded = seenDelta.select("urlHash", "hostBucket")
-      .unionByName(pending.select("urlHash", "hostBucket"))
-    val fresh = newEntries
-      .where(notSeen)
-      .join(excluded, Seq("urlHash", "hostBucket"), "left_anti")
+    val notMember =
+      !KeyLog.memberLiveCol(m.frontierKeyDirs, m.frontierRemDirs)(
+        $"hostBucket", $"urlHash")
+    val fresh = newEntries.where(notSeen && notMember)
+
+    // ---- frontier DELTA: the round writes O(round) bytes, never the
+    // frontier. Adds = fresh ∪ retries ∪ rate-limited re-adds (all
+    // addedSeq = r); tombstones = the exact versions that left (scheduled
+    // ∪ robots-blocked). Unchanged rows (time-deferred, quota-rejected,
+    // budget-rejected) are not touched at all — they stay in their add
+    // delta (round-2 "What's wrong #2": the monolithic rewrite was a
+    // 1000× write amplification at the 10^10-frontier design point).
+    val addBase = retries.unionByName(rateLimited).unionByName(fresh)
+    val removalBase = sched
+      .select($"hostBucket", $"urlHash", $"addedSeq".as("aux"))
+      .unionByName(blockedDf
+        .select($"hostBucket", $"urlHash", $"addedSeq".as("aux")))
 
     // 429-analog WHOLE-HOST deferral: every frontier entry of a host that
     // was rate-limited this round is pushed past its Retry-After horizon
-    // (tiny dimension → broadcast; one distinct (host, retryAfter) per
-    // limited host per round). Skipped entirely when the corpus has no
-    // rate limiting so the steady-state round plan stays minimal.
-    val nextFrontierBase = pending.unionByName(fresh)
-    val nextFrontier =
-      if (spec.rateLimitEvery <= 0) nextFrontierBase
+    // (tiny dimension → broadcast). In the delta log this touches ONLY the
+    // limited hosts' rows: their staying versions are tombstoned and
+    // re-added with the clamped notBeforeRound; the round's own add batch
+    // is clamped in place before it is written. Skipped entirely when the
+    // corpus has no rate limiting so the steady-state round plan stays
+    // minimal.
+    val (adds, removals) =
+      if (spec.rateLimitEvery <= 0) (addBase, removalBase)
       else {
         val rlHosts = failRes.where($"failKind" === "ratelimited")
           .select($"host", (lit(r) + $"retryAfter").as("hostNotBefore"))
           .distinct()
-        nextFrontierBase
+        val addAdj = addBase
           .join(broadcast(rlHosts), Seq("host"), "left")
           .withColumn("notBeforeRound",
             greatest($"notBeforeRound", coalesce($"hostNotBefore", lit(0))))
-          .drop("hostNotBefore")
-          .select(nextFrontierBase.columns.map(col).toSeq: _*)
+          .select(frontierCols.map(col): _*)
+        // staying rows of limited hosts below the horizon: replace version
+        val staying = timeDeferred
+          .unionByName(quotaRejected.select(frontierCols.map(col): _*))
+          .unionByName(
+            if (budgetRejected.isEmpty) emptyFrontier(spark)
+            else budgetRejected.select(frontierCols.map(col): _*))
+        val deferred = staying
+          .join(broadcast(rlHosts), Seq("host"), "inner")
+          .where($"hostNotBefore" > $"notBeforeRound")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        deferredPersisted = Some(deferred)
+        val adds2 = addAdj.unionByName(deferred
+          .withColumn("notBeforeRound", $"hostNotBefore".cast("int"))
+          .withColumn("addedSeq", lit(r))
+          .select(frontierCols.map(col): _*))
+        val rem2 = removalBase.unionByName(
+          deferred.select($"hostBucket", $"urlHash", $"addedSeq".as("aux")))
+        (adds2, rem2)
       }
-    val nextFrontierDir = s"$outDir/frontier/r${r + 1}"
+    val addDir = s"$outDir/frontier/a$r"
+    val addKeyDir = s"$outDir/frontier_keys/a$r"
+    val remDir = s"$outDir/frontier_rem/r$r"
 
     // ---- round tail: four INDEPENDENT output jobs (seen delta, next
     // frontier, metrics, bloom merge) run as concurrent Spark actions —
@@ -527,12 +693,22 @@ object CrawlEngine {
     val seenKeysF = Future(ph("writeSeenKeys")(
       KeyLog.write(seenDelta.select($"hostBucket", $"urlHash",
         $"seenRound".as("aux")), seenKeyDir, cfg.numBuckets)))
-    val frontierF = Future(ph("writeFrontier") {
-      nextFrontier.write.mode("overwrite").parquet(nextFrontierDir)
+    val addsF = Future(ph("writeFrontierAdds") {
+      adds.write.mode("overwrite").parquet(addDir)
       // row counts come from parquet footers (driver-side metadata read, no
       // Spark job) -- the same statistics an Iceberg manifest would carry
-      parquetRowCount(spark, nextFrontierDir)
+      val n = parquetRowCount(spark, addDir)
+      // membership sidecar from the just-written delta (pruned re-read —
+      // cheaper than recomputing the fresh/retry pipeline)
+      if (n > 0)
+        KeyLog.write(
+          spark.read.schema(frontierSchema).parquet(addDir)
+            .select($"hostBucket", $"urlHash", $"addedSeq".as("aux")),
+          addKeyDir, cfg.numBuckets)
+      n
     })
+    val removalsF = Future(ph("writeFrontierTombstones")(
+      KeyLog.write(removals, remDir, cfg.numBuckets)))
     // metrics (A2 analog + north-rule politeness-wait): fully distributed —
     // a per-host aggregate over the cached candidates joined with a per-host
     // fetch-outcome aggregate, written without ever materializing O(hosts)
@@ -572,14 +748,16 @@ object CrawlEngine {
         expectedItems, cfg.bloomFpp)))
 
     val seenDeltaCount = Await.result(seenF, Duration.Inf)
-    val nextFrontierCount = Await.result(frontierF, Duration.Inf)
+    val addCount = Await.result(addsF, Duration.Inf)
+    val remCount = Await.result(removalsF, Duration.Inf)
     Await.result(metricsF, Duration.Inf)
     Await.result(bloomF, Duration.Inf)
     Await.result(seenKeysF, Duration.Inf): Unit
     val bloomDir = bloomDirNew
 
     joined.unpersist(); candidates.unpersist(); ranked.unpersist()
-    pending.unpersist(); truncatedSched.foreach(_.unpersist())
+    truncatedSched.foreach(_.unpersist())
+    deferredPersisted.foreach(_.unpersist())
 
     // compact seen deltas periodically: linear delta growth would make the
     // per-round union (and its file listing) quadratic over a long crawl --
@@ -612,33 +790,59 @@ object CrawlEngine {
       } else (m.seenDirs :+ seenDir, m.seenKeyDirs :+ seenKeyDir,
         m.seenCount + seenDeltaCount)
 
+    // frontier delta-log bookkeeping: append only non-empty dirs; LIVE
+    // count is pure arithmetic (adds and tombstones are disjoint exact
+    // versions). LSM major compaction every ~16 deltas rewrites the live
+    // set once (amortized 1/16 of the frontier per round vs the round-2
+    // design's 1× EVERY round) and clears the tombstone log.
+    val grownAddDirs =
+      if (addCount > 0) m.frontierAddDirs :+ addDir else m.frontierAddDirs
+    val grownKeyDirs =
+      if (addCount > 0) m.frontierKeyDirs :+ addKeyDir else m.frontierKeyDirs
+    val grownRemDirs =
+      if (remCount > 0) m.frontierRemDirs :+ remDir else m.frontierRemDirs
+    val liveCount = m.frontierCount + addCount - remCount
+    val (newAddDirs, newKeyDirs, newRemDirs, newFrontierCount) =
+      if (grownAddDirs.size + grownRemDirs.size >= 16) {
+        val compactDir = s"$outDir/frontier/compact-r$r"
+        val mGrown = m.copy(frontierAddDirs = grownAddDirs,
+          frontierKeyDirs = grownKeyDirs, frontierRemDirs = grownRemDirs)
+        // addedSeq values are PRESERVED: future tombstones reference them
+        readFrontier(spark, mGrown)
+          .write.mode("overwrite").parquet(compactDir)
+        val compactKeyDir = s"$outDir/frontier_keys/compact-r$r"
+        KeyLog.write(
+          spark.read.schema(frontierSchema).parquet(compactDir)
+            .select($"hostBucket", $"urlHash", $"addedSeq".as("aux")),
+          compactKeyDir, cfg.numBuckets)
+        (Vector(compactDir), Vector(compactKeyDir), Vector.empty[String],
+          parquetRowCount(spark, compactDir))
+      } else (grownAddDirs, grownKeyDirs, grownRemDirs, liveCount)
+
     val totalScheduled = m.totalScheduled + schedCount
     Snapshot.Manifest(
       snapshotId = m.snapshotId + 1,
       parentId = m.snapshotId,
       round = r,
       totalScheduled = totalScheduled,
-      frontierDir = nextFrontierDir,
+      frontierAddDirs = newAddDirs,
+      frontierKeyDirs = newKeyDirs,
+      frontierRemDirs = newRemDirs,
       seenDirs = newSeenDirs,
       seenKeyDirs = newSeenKeyDirs,
       fetchedDirs = if (fetchedOkCount > 0) m.fetchedDirs :+ attemptsDir else m.fetchedDirs,
       scheduleDirs = if (schedCount > 0) m.scheduleDirs :+ attemptsDir else m.scheduleDirs,
       metricsDirs = m.metricsDirs :+ metricsDir,
       bloomDir = bloomDir,
-      frontierCount = nextFrontierCount,
+      frontierCount = newFrontierCount,
       seenCount = newSeenCount,
       fetchedCount = m.fetchedCount + fetchedOkCount,
-      done = totalScheduled >= cfg.maxResults || nextFrontierCount == 0L)
+      done = totalScheduled >= cfg.maxResults || newFrontierCount == 0L)
   }
 
-  private def toFrontierCols(df: DataFrame): DataFrame =
-    df.select("url", "canonUrl", "urlHash", "host", "hostBucket", "depth",
-      "priority", "seedId", "path", "attempt", "notBeforeRound")
-
-  private def emptyFrontier(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.emptyDataset[FrontierEntry].toDF()
-  }
+  private def emptyFrontier(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frontierSchema)
 
   /** Total row count of a parquet dir from file footers -- driver-side
     * metadata only, no Spark job (Iceberg-manifest-style statistics).
@@ -669,11 +873,13 @@ object CrawlEngine {
   * exceptions (ref: gather(return_exceptions=True), medcrawler/base.py:408).
   */
 object Fetcher {
-  def fetchOne(spec: CorpusSpec, t: CrawlEngine.FetchTask, round: Int): FetchResult = {
+  def fetchOne(spec: CorpusSpec, t: CrawlEngine.FetchTask, round: Int,
+      startAtMs: Long = 0L): FetchResult = {
     def fail(kind: String, retryAfter: Int) =
       FetchResult(t.canonUrl, t.canonUrl, t.urlHash, t.host, t.hostBucket,
         t.depth, t.priority, t.seedId, t.path, t.attempt, round, ok = false,
-        kind, retryAfter, Array.emptyByteArray, 0, 0, "", "", 0L, Seq.empty)
+        kind, retryAfter, Array.emptyByteArray, 0, 0, "", "", 0L, Seq.empty,
+        startAtMs)
     // 429-analog checked FIRST: a rate-limited server rejects the request
     // before the URL's own status is observable (no retry-attempt burn)
     val rl = SynthCorpus.rateLimitDefer(spec, t.host, round)
@@ -683,13 +889,41 @@ object Fetcher {
         FetchResult(t.canonUrl, t.canonUrl, t.urlHash, t.host, t.hostBucket,
           t.depth, t.priority, t.seedId, t.path, t.attempt, round, ok = true,
           "", 0, img.bytes, img.w, img.h, img.fmt, img.caption, img.phash,
-          SynthCorpus.outlinks(spec, t.canonUrl))
+          SynthCorpus.outlinks(spec, t.canonUrl), startAtMs)
       case None =>
         val kind =
           if (SynthCorpus.failAttempts(spec, t.canonUrl) >= SynthCorpus.PermanentFail)
             "permanent"
           else "transient"
         fail(kind, 0)
+    }
+  }
+
+  /** Wall-clock-paced fetch of one partition: consecutive fetch STARTS
+    * against the same host are spaced ≥ that host's minIntervalMs apart
+    * (ref: `_rate_limit` sleeping to honor min_interval,
+    * medcrawler/base.py:266-280). The per-host last-start clock is
+    * partition-local — callers must route ALL of a host's tasks to one
+    * partition. Timestamps come from the monotonic nanoTime clock, recorded
+    * in FetchResult.fetchedAtMs so the spacing is auditable from the
+    * attempts log.
+    */
+  def paced(spec: CorpusSpec, it: Iterator[CrawlEngine.FetchTask],
+      round: Int): Iterator[FetchResult] = {
+    val lastStartNs = new java.util.HashMap[String, Long]()
+    it.map { t =>
+      val prev = lastStartNs.getOrDefault(t.host, Long.MinValue)
+      if (prev != Long.MinValue) {
+        val target = prev + t.minIntervalMs * 1000000L
+        var now = System.nanoTime()
+        while (now < target) {
+          Thread.sleep(math.max(1L, (target - now) / 1000000L))
+          now = System.nanoTime()
+        }
+      }
+      val start = System.nanoTime()
+      lastStartNs.put(t.host, start)
+      fetchOne(spec, t, round, start / 1000000L)
     }
   }
 }

@@ -106,6 +106,53 @@ object KeyLog {
     false
   }
 
+  /** `(hostBucket, urlHash, seq) → removed` probe: exact (hash, seq) pair
+    * membership in any tombstone run. Used by the frontier delta log: a
+    * removal written at round r carries the addedSeq of the exact frontier
+    * version it kills, so resolution is a pure pair lookup — no MVCC
+    * max-version scan, no shuffle.
+    */
+  def removedPairCol(remDirs: Seq[String])(
+      bucket: Column, hash: Column, seq: Column): Column = {
+    val dirs = remDirs.toArray
+    val f = udf { (b: Int, h: Long, s: Int) =>
+      dirs.exists { d =>
+        KeyLogCache.get(d, b) match {
+          case Some((hs, aux)) => existsMatch(hs, aux, h)(_ == s)
+          case None => false
+        }
+      }
+    }
+    f(bucket, hash, seq)
+  }
+
+  /** `(hostBucket, urlHash) → live frontier member` probe: some add run
+    * holds a version (hash, addedSeq) that no tombstone run has removed.
+    * This is the expansion-time "pending in frontier" exclusion
+    * (RefOracle step 7's `frontier.contains`) without touching the
+    * frontier table itself.
+    */
+  def memberLiveCol(addKeyDirs: Seq[String], remDirs: Seq[String])(
+      bucket: Column, hash: Column): Column = {
+    val adds = addKeyDirs.toArray
+    val rems = remDirs.toArray
+    val f = udf { (b: Int, h: Long) =>
+      def removed(s: Int): Boolean = rems.exists { d =>
+        KeyLogCache.get(d, b) match {
+          case Some((hs, aux)) => existsMatch(hs, aux, h)(_ == s)
+          case None => false
+        }
+      }
+      adds.exists { d =>
+        KeyLogCache.get(d, b) match {
+          case Some((hs, aux)) => existsMatch(hs, aux, h)(s => !removed(s))
+          case None => false
+        }
+      }
+    }
+    f(bucket, hash)
+  }
+
   /** `(hostBucket, urlHash) → live-seen` probe: Bloom prefilter (absent
     * filter = maybe, exactness never depends on it), then exact run probes
     * with TTL liveness at round `r` (`ttl ≤ 0` = seen-forever). All

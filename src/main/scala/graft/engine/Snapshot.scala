@@ -24,10 +24,19 @@ package graft.engine
   */
 object Snapshot {
 
-  /** @param seenDirs    queryable parquet seen deltas (hostBucket-partitioned)
+  /** @param frontierAddDirs append-only frontier ADD deltas (parquet,
+    *                    FrontierEntry columns + addedSeq = writing round);
+    *                    the live frontier = union of adds minus tombstones
+    * @param frontierKeyDirs [[KeyLog]] membership sidecars of the same adds,
+    *                    in LOCKSTEP with frontierAddDirs (aux = addedSeq)
+    * @param frontierRemDirs [[KeyLog]] tombstone runs — exact
+    *                    (urlHash, addedSeq) versions removed per round
+    * @param seenDirs    queryable parquet seen deltas (hostBucket-partitioned)
     * @param seenKeyDirs [[KeyLog]] run dirs — the exact-probe sidecar of the
     *                    same deltas, in LOCKSTEP with seenDirs (one run dir
     *                    per non-empty delta / compaction)
+    * @param frontierCount LIVE frontier size (adds minus removals,
+    *                    re-baselined exactly at compaction)
     * @param seenCount   cumulative seen-stamp count between compactions (a TTL
     *                    refetch re-stamps the same URL); re-baselined to the
     *                    exact distinct-key count at each compaction
@@ -37,7 +46,9 @@ object Snapshot {
       parentId: Int, // -1 for the first snapshot
       round: Int, // round that PRODUCED this snapshot (-1 = initial)
       totalScheduled: Long,
-      frontierDir: String,
+      frontierAddDirs: Vector[String],
+      frontierKeyDirs: Vector[String],
+      frontierRemDirs: Vector[String],
       seenDirs: Vector[String],
       seenKeyDirs: Vector[String],
       fetchedDirs: Vector[String],
@@ -96,7 +107,8 @@ object Snapshot {
     * unreferenced (parquet DATA outputs — attempts, metrics — are kept).
     */
   private def stateDirs(m: Manifest): Vector[String] =
-    Vector(m.frontierDir, m.bloomDir) ++ m.seenDirs ++ m.seenKeyDirs
+    Vector(m.bloomDir) ++ m.frontierAddDirs ++ m.frontierKeyDirs ++
+      m.frontierRemDirs ++ m.seenDirs ++ m.seenKeyDirs
 
   // --- tiny hand-rolled JSON (flat schema, controlled strings) ---
 
@@ -107,7 +119,10 @@ object Snapshot {
 
   def toJson(m: Manifest): String =
     s"""{"snapshotId":${m.snapshotId},"parentId":${m.parentId},"round":${m.round},
-       |"totalScheduled":${m.totalScheduled},"frontierDir":${q(m.frontierDir)},
+       |"totalScheduled":${m.totalScheduled},
+       |"frontierAddDirs":${arr(m.frontierAddDirs)},
+       |"frontierKeyDirs":${arr(m.frontierKeyDirs)},
+       |"frontierRemDirs":${arr(m.frontierRemDirs)},
        |"seenDirs":${arr(m.seenDirs)},"seenKeyDirs":${arr(m.seenKeyDirs)},
        |"fetchedDirs":${arr(m.fetchedDirs)},
        |"scheduleDirs":${arr(m.scheduleDirs)},"metricsDirs":${arr(m.metricsDirs)},
@@ -138,8 +153,9 @@ object Snapshot {
     }
     Manifest(
       num("snapshotId").toInt, num("parentId").toInt, num("round").toInt,
-      num("totalScheduled"), str("frontierDir"), strArr("seenDirs"),
-      strArr("seenKeyDirs"),
+      num("totalScheduled"), strArr("frontierAddDirs"),
+      strArr("frontierKeyDirs"), strArr("frontierRemDirs"),
+      strArr("seenDirs"), strArr("seenKeyDirs"),
       strArr("fetchedDirs"), strArr("scheduleDirs"), strArr("metricsDirs"),
       str("bloomDir"), num("frontierCount"), num("seenCount"),
       num("fetchedCount"), bool("done"))

