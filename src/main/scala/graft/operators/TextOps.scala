@@ -79,6 +79,13 @@ object TextOps {
     * pairs share any band; candidates are verified with EXACT jaccard ≥ 0.8
     * (LSH prunes candidates, the verify join is authoritative — same
     * prefilter-vs-exact split as the crawl engine's Bloom + anti-join).
+    *
+    * Shuffle economy: the SIGNATURE stays md5-hex (portable to the DuckDB
+    * twin), but the band self-join key is compressed to one xxhash64 long of
+    * (band, h_2b, h_2b+1) — equal md5 bands hash equal, so the candidate set
+    * is unchanged (an 2^-64 cross-band collision could only ADD a candidate,
+    * which the exact-jaccard verify then adjudicates) while the join
+    * exchanges 8-byte keys instead of 32-char strings.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -92,14 +99,12 @@ object TextOps {
       min(md5(concat(lit(s"$i|"), $"s"))).as(s"h$i"))
     val mh = ex.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}"))).as("bh")))
+      xxhash64(lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as(s"b$b"))
     val bands = mh
-      .select($"doc_id", explode(array(bandCols: _*)).as("bd"))
-      .select($"doc_id", $"bd.band".as("band"), $"bd.bh".as("bh"))
+      .select($"doc_id", explode(array(bandCols: _*)).as("bh"))
       .persist()
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
