@@ -150,22 +150,30 @@ object Bench {
     // engine's own overhead, with the box's throttling divided out — the
     // honest cluster-scaling evidence on shared hardware.
     val levels = Seq(4, 16, 32)
-    val runs = scala.collection.mutable.Map.empty[Int, List[(Long, Double, Double)]]
+    val passes = 2
+    val runs = scala.collection.mutable.Map.empty[Int, List[(Int, Long, Double, Double)]]
       .withDefaultValue(Nil)
-    for (pass <- 1 to 2; c <- levels) {
+    for (pass <- 1 to passes; c <- levels) {
       val raw = rawFetch(c, 1200 * c, spec)
       val (n, t) = crawlRound(c, scale)
       System.err.println(
         f"[bench] crawl ${c}c pass $pass: $n urls in $t%.1fs = ${n / t}%.0f urls/s " +
           f"(adjacent hw ceiling $raw%.0f/s, engine/hw ${n / t / raw}%.2f)")
-      runs(c) = (n, t, raw) :: runs(c)
+      runs(c) = (pass, n, t, raw) :: runs(c)
     }
     def best(cores: Int): (Long, Double) = {
-      val (n, t, _) = runs(cores).minBy(_._2); (n, t)
+      val (_, n, t, _) = runs(cores).minBy(_._3); (n, t)
     }
-    // per-level engine-vs-adjacent-hardware efficiency: best pass by ratio
+    // per-level engine-vs-adjacent-hardware efficiency: best pass by ratio.
+    // A ratio > 1 means the probe itself caught a throttle dip the crawl
+    // escaped — probe noise cuts both ways; the PAIRED per-pass scaling
+    // below is the robust figure.
     def effVsHw(cores: Int): Double =
-      runs(cores).map { case (n, t, raw) => n / t / raw }.max
+      runs(cores).map { case (_, n, t, raw) => n / t / raw }.max
+    def passEff(cores: Int, pass: Int): Double =
+      runs(cores).collectFirst {
+        case (p, n, t, raw) if p == pass => n / t / raw
+      }.get
     val (n4, t4) = best(4)
     val (n16, t16) = best(16)
     val (n32, t32) = best(32)
@@ -183,8 +191,11 @@ object Bench {
     results("scaling_efficiency_4_to_16") = (thr16 / thr4) / 4.0
     results("scaling_efficiency_vs_hw_ceiling") = (thr16 / thr4) / (raw16 / raw4)
     // throttle-robust N→4N evidence: engine/hw at 16c over engine/hw at 4c
-    // (each vs its own same-instant ceiling)
-    results("scaling_efficiency_hw_normalized") = effVsHw(16) / effVsHw(4)
+    // PAIRED WITHIN ONE PASS (mixing passes would divide ratios taken in
+    // different box states), best pass wins — same best-of estimator as the
+    // throughput numbers
+    results("scaling_efficiency_hw_normalized") =
+      (1 to passes).map(p => passEff(16, p) / passEff(4, p)).max
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
