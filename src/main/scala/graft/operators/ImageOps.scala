@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal (binary-column) operators over image payloads.
   *
   * Images are opaque `binary` columns with typed metadata (the input_hint
-  * schema: image_id, bytes, w, h, fmt, caption, phash). Decode and
-  * perceptual hashing are REAL (JDK ImageIO — PNG/JPEG decode needs no
-  * external libs); heavyweight transforms (resize, model feature-extract)
-  * are deterministic STUBS with real Spark plumbing (schema, partitioning,
-  * batched mapPartitions shape), clearly marked below.
+  * schema: image_id, bytes, w, h, fmt, caption, phash). Decode, perceptual
+  * hashing AND resize are REAL pixel operations on pure JDK codecs
+  * (javax.imageio + java.awt resampling — no external libs needed); only a
+  * model feature-extractor would require natives this container lacks, and
+  * no operator here claims one.
   *
   * Scale notes: payload `bytes` are only touched inside per-partition batch
   * UDFs; every join/group in here runs on 8-byte hashes or ids. The phash
@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   * candidate/verify split as MinHash LSH.
   */
 object ImageOps {
+
+  // default ImageIO spools a temp FILE per encode/decode; loaded on each
+  // executor JVM before any UDF below runs
+  ImageIO.setUseCache(false)
 
   /** Real decode: binary → (w, h, ok). */
   val decodeDims = udf { (bytes: Array[Byte]) =>
@@ -40,16 +44,29 @@ object ImageOps {
     catch { case _: Exception => 0L }
   }
 
-  /** STUB: resize/feature-extract placeholder. The real operation would
-    * decode + resample pixels (image codec work, same plumbing); the stub
-    * returns a deterministic digest of (bytes, target size) so tests can
-    * verify the batched execution path end-to-end without a native codec.
+  /** Real resize: decode (ImageIO) → bilinear resample (java.awt
+    * Graphics2D) into tw×th RGB → PNG re-encode. Deterministic per
+    * (bytes, tw, th), so outputs are parallelism-independent. Returns
+    * (bytes, ok); undecodable input yields (empty, false) — failures are
+    * data, never exceptions (same discipline as the fetch path).
     */
-  val resizeStub = udf { (bytes: Array[Byte], tw: Int, th: Int) =>
-    val crc = new java.util.zip.CRC32()
-    crc.update(bytes)
-    crc.update(tw); crc.update(th)
-    s"resized:${tw}x$th:${java.lang.Long.toHexString(crc.getValue)}"
+  val resizeImage = udf { (bytes: Array[Byte], tw: Int, th: Int) =>
+    try {
+      val src = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (src == null) (Array.emptyByteArray, false)
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, tw, th, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(dst, "png", bos)
+        (bos.toByteArray, true)
+      }
+    } catch { case _: Exception => (Array.emptyByteArray, false) }
   }
 
   /** Near-duplicate image pairs by phash hamming distance ≤ maxDist (≤ 3 for
@@ -84,9 +101,9 @@ object ImageOps {
   /** End-to-end crawl smoke query for the driver's rows-only gate: run a
     * small deterministic crawl, then validate every fetched binary payload
     * by REAL decode (dims must match the typed metadata; recomputed phash
-    * must match the stored phash) and exercise the resize-stub plumbing.
-    * Output is independent of the temp directory and of parallelism (crawl
-    * determinism contract).
+    * must match the stored phash) and a REAL 8×8 resize whose output is
+    * itself re-decoded and dimension-checked. Output is independent of the
+    * temp directory and of parallelism (crawl determinism contract).
     */
   def crawlSmoke(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -97,10 +114,12 @@ object ImageOps {
     res.fetched(spark)
       .withColumn("dec", decodeDims($"bytes"))
       .withColumn("phash2", phashOfBytes($"bytes"))
+      .withColumn("rz", resizeImage($"bytes", lit(8), lit(8)))
+      .withColumn("rdec", decodeDims($"rz._1"))
       .select($"image_id", $"fmt", $"w", $"h", $"phash", $"seed_id", $"depth",
         ($"dec._3" && $"dec._1" === $"w" && $"dec._2" === $"h").as("decode_ok"),
         ($"phash2" === $"phash").as("phash_ok"),
-        resizeStub($"bytes", lit(8), lit(8)).as("thumb"))
+        ($"rz._2" && $"rdec._1" === 8 && $"rdec._2" === 8).as("resize_ok"))
       .orderBy($"image_id")
   }
 

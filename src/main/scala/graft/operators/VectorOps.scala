@@ -24,6 +24,29 @@ object VectorOps {
   private def emb(dir: String)(implicit s: SparkSession): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Row count from parquet file footers — driver-side metadata read, no
+    * Spark job (annBits needs N before the plan is built; a count() job
+    * here would serialize a full scan ahead of the real query).
+    */
+  private def footerCount(s: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try n += rd.getRecordCount finally rd.close()
+      }
+    }
+    n
+  }
+
   /** dot(a,b) folded left over the element index, all in double. */
   private def dotCol(a: String, b: String): Column = expr(
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")
@@ -200,7 +223,7 @@ object VectorOps {
     implicit val s: SparkSession = spark
     import spark.implicits._
     val e = emb(dir)
-    val bits = annBits(e.count())
+    val bits = annBits(footerCount(spark, s"$dir/embeddings.parquet"))
     val tableCols = (0 until AnnTables).map { t =>
       struct(lit(t).as("tbl"),
         (0 until bits).map(i =>

@@ -68,7 +68,8 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Boolean]("decode_ok"), s"decode failed: ${r.getString(0)}")
       assert(r.getAs[Boolean]("phash_ok"), s"phash drifted: ${r.getString(0)}")
-      assert(r.getAs[String]("thumb").startsWith("resized:8x8:"))
+      assert(r.getAs[Boolean]("resize_ok"),
+        s"8x8 resize did not re-decode to 8x8: ${r.getString(0)}")
     }
   }
 
