@@ -12,11 +12,19 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Main --out /tmp/crawl [--hosts 20] [--pages 500]
   *     [--seeds 4] [--max 1000] [--rounds 64] [--skew] [--resume]
   *     [--cores 8] [--show] [--recent DAYS] [--ttl ROUNDS] [--ratelimit K]
+  *     [--pace] [--get URL[,URL...]]
   *
   * `--recent DAYS` keeps only seeds published within the last DAYS days
   * (relative date arithmetic evaluated IN Spark via date_sub against the
   * corpus epoch 1998-01-01 — the reference's now−90d `--recent` analog,
   * medcrawler/demo.py:183-192).
+  *
+  * `--pace` enforces per-host minIntervalMs in wall-clock time inside the
+  * fetch stage (ref rate limiter, medcrawler/base.py:266-280).
+  *
+  * `--get` runs AFTER the crawl (or against a `--resume`d snapshot): serves
+  * the listed URLs read-through from the snapshot without a fetch — the
+  * reference demo's cached `get_item` phase (medcrawler/demo.py:126-144).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -43,7 +51,8 @@ object Main {
     val cfg = CrawlConfig(
       maxResults = opts.getOrElse("max", "1000").toLong,
       maxRounds = opts.getOrElse("rounds", "64").toInt,
-      ttlRounds = opts.getOrElse("ttl", "0").toInt)
+      ttlRounds = opts.getOrElse("ttl", "0").toInt,
+      paceWallClock = opts.contains("pace"))
     val allSeeds = spec.defaultSeeds(opts.getOrElse("seeds", "4").toInt)
     val seeds = opts.get("recent") match {
       case None => allSeeds
@@ -72,6 +81,16 @@ object Main {
       f"seen=${res.manifest.seenCount} frontierLeft=${res.manifest.frontierCount} " +
       f"secs=$secs%.2f urlsPerSec=${res.totalScheduled / secs}%.1f")
 
+    opts.get("get").foreach { urls =>
+      val t1 = System.nanoTime()
+      val (hits, misses) = res.lookup(spark, urls.split(',').toSeq)
+      println("-- lookup hits (served from snapshot, no fetch) --")
+      hits.select("image_id", "fmt", "w", "h", "phash", "round")
+        .show(20, truncate = false)
+      println(f"lookup: ${(System.nanoTime() - t1) / 1e9}%.3fs; " +
+        s"misses=${misses.mkString(",")}")
+    }
+
     if (opts.contains("show")) {
       println("-- schedule (crawl order) --")
       res.schedule(spark).show(10, truncate = false)
@@ -89,13 +108,13 @@ object Main {
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {
       case Nil => acc
-      case ("--skew" | "--resume" | "--show") :: rest =>
+      case ("--skew" | "--resume" | "--show" | "--pace") :: rest =>
         parse(rest, acc + (args.head.stripPrefix("--") -> "true"))
       case k :: v :: rest if k.startsWith("--") =>
         parse(rest, acc + (k.stripPrefix("--") -> v))
       case other :: _ =>
         sys.error(s"unrecognized argument: $other (flags: --out --hosts " +
           "--pages --seeds --max --rounds --cores --recent --ttl " +
-          "--ratelimit --skew --resume --show)")
+          "--ratelimit --skew --resume --show --pace --get)")
     }
 }
