@@ -105,7 +105,7 @@ object Bench {
     val headline = Vector("q1_agg", "q_count_pushdown", "q_broadcast_join",
       "q_window_quota", "q_anti_join", "q_event_window", "q_topk",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "text_quality",
-      "text_langid", "embed_knn", "embed_ann_lsh")
+      "text_langid", "embed_knn", "embed_ann_lsh", "embed_ann_ivf")
     try SparkEntry.queries("q_topk")(spark, sfDir).count() // session warmup
     catch { case _: Throwable => () }
     headline.foreach { name =>

@@ -48,6 +48,7 @@ object SparkEntry {
     "embed_neardup" -> (V.embedNearDup _),
     "embed_neardup_brute" -> (V.embedNearDupBrute _),
     "embed_ann_lsh" -> (V.embedAnnLsh _),
+    "embed_ann_ivf" -> (V.embedAnnIvf _),
     // structured streaming (event-time window + stateful sessionization)
     "stream_event_window" -> (S.streamEventWindow _),
     "stream_sessionize" -> (S.streamSessionize _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "embed_neardup" -> V.embedNearDupSql,
     "embed_neardup_brute" -> V.embedNearDupBruteSql,
     "embed_ann_lsh" -> V.embedAnnLshSql,
+    "embed_ann_ivf" -> V.embedAnnIvfSql,
     "stream_event_window" -> S.streamEventWindowSql,
     "stream_sessionize" -> S.streamSessionizeSql
   )

@@ -91,13 +91,15 @@ object TextOps {
     implicit val s: SparkSession = spark
     import spark.implicits._
     // sh is consumed 3x (signature build + both sides of the verify join)
-    // and bands 2x (candidate self-join): persist so the shingle explode +
-    // md5-min aggregation run once, not four times
+    // and bands 2x (candidate self-join): persist so the shingle build runs
+    // once, not four times
     val sh = shingles(dir).persist()
-    val ex = sh.select($"doc_id", explode($"sh").as("s"))
+    // The whole 8-minhash signature folds per doc as array_min over the
+    // hashed shingle array — a narrow projection (no explode row inflation,
+    // no groupBy), same zero-shuffle shape as the SimHash signature.
     val minCols = (0 until 8).map(i =>
-      min(md5(concat(lit(s"$i|"), $"s"))).as(s"h$i"))
-    val mh = ex.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      array_min(transform($"sh", x => md5(concat(lit(s"$i|"), x)))).as(s"h$i"))
+    val mh = sh.select(($"doc_id" +: minCols): _*)
     val bandCols = (0 until 4).map(b =>
       xxhash64(lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as(s"b$b"))
     val bands = mh

@@ -48,14 +48,19 @@ object VectorOps {
   }
 
   /** dot(a,b) folded left over the element index, all in double. */
-  private def dotCol(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")
+  private def dotStr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
 
-  private def norm2Col(a: String): Column = expr(
-    s"aggregate($a, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))")
+  private def norm2Str(a: String): String =
+    s"aggregate($a, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))"
 
-  private def cosine(a: String, b: String): Column =
-    round(dotCol(a, b) / (sqrt(norm2Col(a)) * sqrt(norm2Col(b))), 6)
+  /** Rounded cosine as an expression STRING so it can also appear inside
+    * higher-order lambdas (the IVF assignment fold).
+    */
+  private def cosineStr(a: String, b: String): String =
+    s"round(${dotStr(a, b)} / (sqrt(${norm2Str(a)}) * sqrt(${norm2Str(b)})), 6)"
+
+  private def cosine(a: String, b: String): Column = expr(cosineStr(a, b))
 
   /** DuckDB twin of [[cosine]]: list comprehension + list_sum in double. */
   private def cosineSql(a: String, b: String): String =
@@ -285,6 +290,109 @@ object VectorOps {
        |r AS (SELECT query_id, neighbor_id, sim,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
        | FROM p)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF (inverted-file) ANN — the other standard ANN decomposition next to
+    * the LSH path: K = max(4, ⌊√(N/4)⌋) coarse cells whose centroids are a
+    * deterministic stride-sample of the corpus (vec_id % step == 0 —
+    * random-sample init is the standard k-means seed; Lloyd refinement is
+    * deliberately skipped so the DuckDB twin derives the IDENTICAL quantizer
+    * from count(*) alone), [[AnnIvfProbe]] cells probed per query.
+    *
+    * Scale shape: the K-row centroid table is collapsed to ONE broadcast
+    * row carrying a cid-sorted centroid array, so cell ASSIGNMENT is a
+    * narrow per-row argmax fold (no shuffle, no N×K row inflation —
+    * `array_max` over a transform picks max cosine with min-cid
+    * tie-break); candidates are an equi-join on cell; exact cosine re-ranks.
+    * At 10^10 rows the broadcast is O(√N·dim) ≈ tens of MB — the same
+    * budget class as any broadcast dimension — and the only shuffles are
+    * O(candidates).
+    */
+  val AnnIvfProbe = 4
+
+  def ivfK(n: Long): Int = math.max(4, math.floor(math.sqrt(n / 4.0)).toInt)
+
+  /** One row: `cents` = cid-sorted array of (cid, cv) over the stride-sampled
+    * centroids.
+    */
+  private def ivfCentsRow(e: DataFrame, n: Long): DataFrame = {
+    val k = ivfK(n)
+    val step = (n / k).toInt
+    e.where(col("vec_id") % step === 0 && col("vec_id") < step.toLong * k)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+  }
+
+  /** Candidate stage of [[embedAnnIvf]] (public so the recall spec measures
+    * candidate fraction): distinct (query_id, neighbor_id) with the neighbor
+    * assigned to one of the query's [[AnnIvfProbe]] nearest cells.
+    */
+  def annIvfCandidates(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val e = emb(dir)
+    val n = footerCount(spark, s"$dir/embeddings.parquet")
+    val cr = ivfCentsRow(e, n)
+    // assignment: argmax cosine over the broadcast centroid array — max
+    // struct ('s' sim, 'c' -cid) = max sim then min cid, a pure projection
+    val assign = e.crossJoin(broadcast(cr))
+      .select($"vec_id".as("neighbor_id"), expr(
+        s"-(array_max(transform(cents, ct -> named_struct('s', ${cosineStr("embedding", "ct.cv")}, 'c', -ct.cid))).c)")
+        .as("cell"))
+    // query side (bounded set): nprobe nearest cells via sorted (-sim, cid)
+    val probes = e.where($"vec_id" < 50).crossJoin(broadcast(cr))
+      .select($"vec_id".as("query_id"), explode(expr(
+        s"transform(slice(array_sort(transform(cents, ct -> named_struct('ns', -${cosineStr("embedding", "ct.cv")}, 'c', ct.cid))), 1, $AnnIvfProbe), p -> p.c)"))
+        .as("cell"))
+    probes.join(assign, Seq("cell"))
+      .where($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id")
+      .distinct()
+  }
+
+  def embedAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val e = emb(dir)
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"sim".desc, $"neighbor_id".asc)
+    annIvfCandidates(spark, dir)
+      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qe")), Seq("query_id"))
+      .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("ce")), Seq("neighbor_id"))
+      .withColumn("sim", cosine("qe", "ce"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"query_id", $"neighbor_id", $"sim", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val embedAnnIvfSql: String = {
+    // K and step derive from count(*) INSIDE the SQL — identical quantizer
+    val kSub = "GREATEST(4, CAST(FLOOR(SQRT(count(*)/4.0)) AS INT))"
+    s"""WITH pars AS (SELECT $kSub AS k, CAST(count(*) // $kSub AS INT) AS step FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, pars
+       |  WHERE vec_id % step = 0 AND vec_id < step * k),
+       |asgn AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
+       |  SELECT ev.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY ev.vec_id ORDER BY ${cosineSql("ee", "cv")} DESC, c.cid) AS rn
+       |  FROM (SELECT vec_id, embedding AS ee FROM embeddings) ev CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |  SELECT ev.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY ev.vec_id ORDER BY ${cosineSql("ee", "cv")} DESC, c.cid) AS rn
+       |  FROM (SELECT vec_id, embedding AS ee FROM embeddings WHERE vec_id < 50) ev CROSS JOIN cent c)
+       |  WHERE rn <= $AnnIvfProbe),
+       |cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN asgn a ON a.cell = p.cell WHERE a.neighbor_id <> p.query_id),
+       |pp AS (SELECT query_id, neighbor_id, ${cosineSql("qe", "ce")} AS sim
+       |  FROM cand c
+       |  JOIN (SELECT vec_id, embedding AS qe FROM embeddings) a ON a.vec_id = c.query_id
+       |  JOIN (SELECT vec_id, embedding AS ce FROM embeddings) b ON b.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       | FROM pp)
        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
   }

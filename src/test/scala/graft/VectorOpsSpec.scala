@@ -71,17 +71,15 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.85, f"recall $recall%.3f < 0.85")
   }
 
-  test("embed_ann_lsh on clustered embeddings: fraction < 10% at recall ≥ 0.85") {
-    // The regime LSH exists for: clustered embeddings (real text/image
-    // encoders cluster hard). 256 clusters × 50 members, within-cluster
-    // cosine ~0.9. The adaptive code length (annBits ~ log2 N) keeps bucket
-    // occupancy bounded, so the candidate stage probes a SMALL fraction of
-    // the pair space while multiprobe holds recall.
+  /** 256-cluster × 50-member corpus (within-cluster cosine ~0.9) — the
+    * regime indexed ANN exists for. Written once, shared by the LSH and IVF
+    * clustered gates.
+    */
+  private lazy val clusteredDir: String = {
     import spark.implicits._
-    val n = 12800
     val members = 50
     val cdir = java.nio.file.Files.createTempDirectory("ann-clustered").toString
-    spark.range(n).map { id =>
+    spark.range(clusteredN).map { id =>
       val cluster = id / members
       val crng = new java.util.SplittableRandom(1000003L * (cluster + 1))
       val center = Array.fill(64)(crng.nextDouble() * 2 - 1)
@@ -90,9 +88,14 @@ class VectorOpsSpec extends AnyFunSuite {
       (id, v, cluster.toInt)
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+    cdir
+  }
+  private val clusteredN = 12800
 
-    // brute top-3 truth for the query set (vec_id < 50 = one full cluster)
-    val e = spark.read.parquet(s"$cdir/embeddings.parquet")
+  /** Brute-force top-3 truth over the query set (vec_id < 50). */
+  private def knnTruth(dir: String): Set[(Long, Long)] = {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.where($"vec_id" < 50)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
     val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("ce"))
@@ -103,18 +106,42 @@ class VectorOpsSpec extends AnyFunSuite {
         |  * sqrt(aggregate(ce, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))), 6)"""
         .stripMargin)
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
-    val truth = q.crossJoin(c).where($"query_id" =!= $"neighbor_id")
+    q.crossJoin(c).where($"query_id" =!= $"neighbor_id")
       .withColumn("sim", sim)
       .withColumn("rank", row_number().over(w)).where($"rank" <= 3)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = VectorOps.embedAnnLsh(spark, cdir)
+  }
+
+  test("embed_ann_lsh on clustered embeddings: fraction < 10% at recall ≥ 0.85") {
+    // The adaptive code length (annBits ~ log2 N) keeps bucket occupancy
+    // bounded, so the candidate stage probes a SMALL fraction of the pair
+    // space while multiprobe holds recall.
+    val truth = knnTruth(clusteredDir)
+    val ann = VectorOps.embedAnnLsh(spark, clusteredDir)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & ann).size.toDouble / truth.size
-    val frac = VectorOps.annCandidates(spark, cdir).count().toDouble / (50.0 * (n - 1))
+    val frac = VectorOps.annCandidates(spark, clusteredDir).count().toDouble /
+      (50.0 * (clusteredN - 1))
     info(f"clustered ann_lsh recall@3 = $recall%.3f, candidate fraction = $frac%.3f")
     assert(recall >= 0.85, f"recall $recall%.3f < 0.85")
     assert(frac < 0.10, f"candidate fraction $frac%.3f >= 0.10 — LSH is not pruning")
+  }
+
+  test("embed_ann_ivf on clustered embeddings: fraction < 10% at recall ≥ 0.85") {
+    // The IVF decomposition on the same corpus: √(N/4) sampled-centroid
+    // cells, nprobe=4. Neighbors are cluster-mates, cluster-mates assign to
+    // the same cell, and the query's probe list contains it.
+    val truth = knnTruth(clusteredDir)
+    val ann = VectorOps.embedAnnIvf(spark, clusteredDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ann).size.toDouble / truth.size
+    val frac = VectorOps.annIvfCandidates(spark, clusteredDir).count().toDouble /
+      (50.0 * (clusteredN - 1))
+    info(f"clustered ann_ivf recall@3 = $recall%.3f, candidate fraction = $frac%.3f")
+    assert(recall >= 0.85, f"recall $recall%.3f < 0.85")
+    assert(frac < 0.10, f"candidate fraction $frac%.3f >= 0.10 — IVF is not pruning")
   }
 }
