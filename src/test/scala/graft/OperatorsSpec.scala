@@ -110,6 +110,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shape: IVF assignment is a 1-row broadcast, candidates an equi-join") {
+    val plan = graft.operators.VectorOps.embedAnnIvf(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the ONLY nested-loop join allowed is the broadcast of the single
+    // centroid-array row (assignment fold input); vector-vs-vector work must
+    // never be a cross join
+    assert(!plan.contains("CartesianProduct"),
+      s"embed_ann_ivf plan contains a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"embed_ann_ivf candidate stage is not an equi-join:\n$plan")
+  }
+
   test("plan shape: q_recent date_sub bound is pushed into the scan") {
     val plan = graft.operators.RelationalOps.qRecent(spark, dir)
       .queryExecution.executedPlan.toString
