@@ -27,7 +27,26 @@ import org.apache.spark.sql.SparkSession
   * reference demo's cached `get_item` phase (medcrawler/demo.py:126-144).
   */
 object Main {
+  private val usage =
+    """usage: graft.Main --out DIR [options]
+      |  --out DIR        output/snapshot directory (default: temp dir)
+      |  --hosts N        synthetic corpus hosts (default 20)
+      |  --pages N        pages per host (default 500)
+      |  --seeds N        number of seed URLs (default 4)
+      |  --max N          global fetch budget (default 1000)
+      |  --rounds N       max scheduling rounds (default 64)
+      |  --cores N        local[N] parallelism (default 8 / SPARK_GRAFT_CPUS)
+      |  --recent DAYS    keep only seeds published in the last DAYS days
+      |  --ttl ROUNDS     re-fetch a seen URL after ROUNDS rounds (0 = never)
+      |  --ratelimit K    corpus rate-limits every K-th round per host
+      |  --skew           make host 0 a mega-host (skew stress)
+      |  --pace           enforce per-host min-interval in wall-clock time
+      |  --resume         resume the crawl from the snapshot in --out
+      |  --show           print schedule/fetched/metrics tables after the run
+      |  --get URL[,URL]  point-lookup URLs from the snapshot (no fetch)""".stripMargin
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--help") || args.contains("-h")) { println(usage); return }
     val opts = parse(args.toList, Map.empty)
     val out = opts.getOrElse("out",
       java.nio.file.Files.createTempDirectory("graft-crawl").toString)
