@@ -190,36 +190,62 @@ object TextOps {
       |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
       |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Token counting: whitespace tokens + type-token ratio. */
+  /** BPE-ish subword pattern: consonant-prefixed vowel runs (syllable-like
+    * chunks, e.g. "table" → [ta, ble], "query" → [que, ry]) with a bare
+    * consonant-run fallback — a deterministic stand-in for a learned BPE
+    * merge table, identical under Java regex and RE2 (simple character
+    * classes, greedy, leftmost-first alternation).
+    */
+  private val SubtokenRe = "[bcdfghjklmnpqrstvwxz]*[aeiouy]+|[bcdfghjklmnpqrstvwxz]+"
+
+  /** Token counting: whitespace tokens, type-token ratio, and a BPE-ish
+    * regex subword count (the token-budget estimator a training pipeline
+    * runs over every document).
+    */
   def textTokens(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
     docs(dir)
       .select($"doc_id",
         size(split($"text", " ")).cast("bigint").as("n_tokens"),
-        size(array_distinct(split($"text", " "))).cast("bigint").as("n_distinct"))
+        size(array_distinct(split($"text", " "))).cast("bigint").as("n_distinct"),
+        size(regexp_extract_all($"text", lit(SubtokenRe), lit(0)))
+          .cast("bigint").as("n_subtokens"))
       .withColumn("ttr", round($"n_distinct".cast("double") / $"n_tokens", 6))
       .orderBy($"doc_id")
   }
 
   val textTokensSql: String =
-    """SELECT doc_id,
-      | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-      | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
-      | round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-      |   / len(string_split(text,' ')), 6) AS ttr
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+       | CAST(len(regexp_extract_all(text, '$SubtokenRe')) AS BIGINT) AS n_subtokens,
+       | round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |   / len(string_split(text,' ')), 6) AS ttr
+       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Quality scoring: length, token count, mean token length, and a bounded
-    * composite score (rational arithmetic only — no transcendentals, so the
-    * oracle matches bit-for-bit).
+  /** Stopword list for the quality score: high-frequency function words
+    * across the corpus' four languages (includes the langid marker words so
+    * every language's documents get a non-degenerate ratio).
+    */
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is",
+    "der", "le", "el")
+
+  /** Quality scoring: length, token count, mean token length, stopword
+    * ratio, and a bounded composite score (rational arithmetic only — no
+    * transcendentals, so the oracle matches bit-for-bit). A real pipeline
+    * thresholds on these columns to drop boilerplate/gibberish documents.
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
     docs(dir)
       .select($"doc_id", length($"text").cast("bigint").as("n_chars_c"),
-        size(split($"text", " ")).cast("bigint").as("n_tokens"))
+        size(split($"text", " ")).cast("bigint").as("n_tokens"),
+        expr(s"cast(size(filter(split(text, ' '), t -> t IN ($stopList))) as bigint)")
+          .as("n_stop"))
+      .withColumn("stop_ratio", round($"n_stop".cast("double") / $"n_tokens", 6))
       .withColumn("avg_tok_len",
         round(($"n_chars_c" - ($"n_tokens" - 1)).cast("double") / $"n_tokens", 6))
       .withColumn("quality", round(
@@ -229,16 +255,21 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  val textQualitySql: String =
-    """SELECT doc_id,
-      | CAST(length(text) AS BIGINT) AS n_chars_c,
-      | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-      | round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
-      |   / len(string_split(text,' ')), 6) AS avg_tok_len,
-      | round(least(CAST(len(string_split(text,' ')) AS DOUBLE)/100.0, 1.0)*0.5 +
-      |   least((CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
-      |     / len(string_split(text,' ')))/8.0, 1.0)*0.5, 6) AS quality
-      |FROM documents ORDER BY doc_id""".stripMargin
+  val textQualitySql: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       | CAST(length(text) AS BIGINT) AS n_chars_c,
+       | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       | CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+       | round(CAST(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) AS DOUBLE)
+       |   / len(string_split(text,' ')), 6) AS stop_ratio,
+       | round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |   / len(string_split(text,' ')), 6) AS avg_tok_len,
+       | round(least(CAST(len(string_split(text,' ')) AS DOUBLE)/100.0, 1.0)*0.5 +
+       |   least((CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |     / len(string_split(text,' ')))/8.0, 1.0)*0.5, 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** Language-ID heuristic: marker-word occurrence counts via the
     * replace-length trick (portable across engines), argmax with pinned
