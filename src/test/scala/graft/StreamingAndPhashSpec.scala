@@ -31,6 +31,47 @@ class StreamingAndPhashSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("streaming windowed agg accumulates across MULTIPLE micro-batches") {
+    // The static-input test above processes everything in one micro-batch;
+    // here the events table is ingested in 3 chunks split by event_id (NOT
+    // by time, so every chunk feeds rows into already-open windows) and the
+    // final Complete-mode result must still equal the batch answer — the
+    // cross-batch aggregation-state path is what's exercised. (Complete
+    // mode keeps all window state; the watermark never evicts it.)
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("stream-inc").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream.schema(ev.schema).parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("win"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("value_cents"))
+    val q = agg.writeStream.format("memory").queryName("inc_win")
+      .outputMode("complete").start()
+    try {
+      for (i <- 0 until 3) {
+        ev.where(pmod($"event_id", lit(3)) === i)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.map(_.batchId).max >= 2,
+        "ingest collapsed into fewer than 3 micro-batches")
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(r => r.toSeq.map {
+        case t: java.sql.Timestamp => t.toLocalDateTime.toString
+        case t: java.time.LocalDateTime => t.toString
+        case v => String.valueOf(v)
+      }.mkString("|")).toSet
+    val streamed = rows(spark.table("inc_win")
+      .select($"win.start".cast("timestamp_ntz").as("hour"), $"event_type",
+        $"n", $"value_cents"))
+    val batch = rows(RelationalOps.qEventWindow(spark, dir))
+    assert(streamed == batch)
+  }
+
   test("streaming sessionization: per-user event counts are conserved") {
     val sessions = StreamingOps.streamSessionize(spark, dir)
     val perUser = sessions.groupBy("user_id")
