@@ -108,13 +108,19 @@ object Bench {
       "text_langid", "embed_knn", "embed_ann_lsh", "embed_ann_ivf")
     try SparkEntry.queries("q_topk")(spark, sfDir).count() // session warmup
     catch { case _: Throwable => () }
-    headline.foreach { name =>
+    // best-of-2, passes interleaved (all queries once, then again): pass 1
+    // pays each query's plan-compile + codegen, pass 2 measures the warm
+    // operator — and taking the min makes the number robust to this box's
+    // burst-budget throttling (observed: identical binaries 2× apart in
+    // adjacent sessions; same estimator as the crawl levels below)
+    for (pass <- 1 to 2; name <- headline) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () }
       catch { case _: Throwable => () }
-      results(name) = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name: ${results(name)}%.2fs")
+      val t = (System.nanoTime() - t0) / 1e9
+      results(name) = math.min(results.getOrElse(name, Double.MaxValue), t)
+      System.err.println(f"[bench] $name pass $pass: $t%.2fs")
     }
     spark.stop()
 
