@@ -110,21 +110,13 @@ object KeyLog {
     * membership in any tombstone run. Used by the frontier delta log: a
     * removal written at round r carries the addedSeq of the exact frontier
     * version it kills, so resolution is a pure pair lookup — no MVCC
-    * max-version scan, no shuffle.
+    * max-version scan, no shuffle. Native codegen expression
+    * ([[ProbeExpr]]): no per-row boxing or catalyst-converter round-trip.
     */
   def removedPairCol(remDirs: Seq[String])(
-      bucket: Column, hash: Column, seq: Column): Column = {
-    val dirs = remDirs.toArray
-    val f = udf { (b: Int, h: Long, s: Int) =>
-      dirs.exists { d =>
-        KeyLogCache.get(d, b) match {
-          case Some((hs, aux)) => existsMatch(hs, aux, h)(_ == s)
-          case None => false
-        }
-      }
-    }
-    f(bucket, hash, seq)
-  }
+      bucket: Column, hash: Column, seq: Column): Column =
+    ProbeExpr.removedPair(ProbeExpr.RemovedCfg(remDirs.toIndexedSeq))(
+      bucket, hash, seq)
 
   /** `(hostBucket, urlHash) → live frontier member` probe: some add run
     * holds a version (hash, addedSeq) that no tombstone run has removed.
@@ -133,25 +125,9 @@ object KeyLog {
     * frontier table itself.
     */
   def memberLiveCol(addKeyDirs: Seq[String], remDirs: Seq[String])(
-      bucket: Column, hash: Column): Column = {
-    val adds = addKeyDirs.toArray
-    val rems = remDirs.toArray
-    val f = udf { (b: Int, h: Long) =>
-      def removed(s: Int): Boolean = rems.exists { d =>
-        KeyLogCache.get(d, b) match {
-          case Some((hs, aux)) => existsMatch(hs, aux, h)(_ == s)
-          case None => false
-        }
-      }
-      adds.exists { d =>
-        KeyLogCache.get(d, b) match {
-          case Some((hs, aux)) => existsMatch(hs, aux, h)(s => !removed(s))
-          case None => false
-        }
-      }
-    }
-    f(bucket, hash)
-  }
+      bucket: Column, hash: Column): Column =
+    ProbeExpr.memberLive(ProbeExpr.MemberCfg(
+      addKeyDirs.toIndexedSeq, remDirs.toIndexedSeq))(bucket, hash)
 
   /** `(hostBucket, urlHash) → live-seen` probe: Bloom prefilter (absent
     * filter = maybe, exactness never depends on it), then exact run probes
@@ -159,23 +135,9 @@ object KeyLog {
     * executor-local; the seen state is never scanned or shuffled.
     */
   def seenLiveCol(bloomDir: String, keyDirs: Seq[String], r: Int, ttl: Int)(
-      bucket: Column, hash: Column): Column = {
-    val dirs = keyDirs.toArray
-    val f = udf { (b: Int, h: Long) =>
-      val maybe = BloomCache.get(bloomDir, b) match {
-        case Some(bf) => bf.mightContainLong(h)
-        case None => true // missing filter must not veto the exact probe
-      }
-      maybe && dirs.exists { d =>
-        KeyLogCache.get(d, b) match {
-          case Some((hs, aux)) =>
-            existsMatch(hs, aux, h)(sr => ttl <= 0 || r - sr < ttl)
-          case None => false
-        }
-      }
-    }
-    f(bucket, hash)
-  }
+      bucket: Column, hash: Column): Column =
+    ProbeExpr.seenLive(ProbeExpr.SeenCfg(bloomDir, keyDirs.toIndexedSeq,
+      r, ttl))(bucket, hash)
 }
 
 /** Executor-local run cache keyed by the immutable (dir, bucket) identity of
