@@ -315,7 +315,10 @@ object VectorOps {
   def ivfK(n: Long): Int = math.max(4, math.floor(math.sqrt(n / 4.0)).toInt)
 
   /** One row: `cents` = cid-sorted array of (cid, cv) over the stride-sampled
-    * centroids.
+    * centroids. Stride sampling assumes dense 0-based vec_ids (true of the
+    * corpus tables); for sparse ids the same quantizer works keyed on
+    * `xxhash64(vec_id) % step == 0` — the dense form is kept because the
+    * DuckDB twin must derive the identical centroid set.
     */
   private def ivfCentsRow(e: DataFrame, n: Long): DataFrame = {
     val k = ivfK(n)
