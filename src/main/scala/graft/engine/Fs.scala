@@ -54,12 +54,16 @@ object Fs {
 
   /** Atomic-publish write: tmp file + rename. Idempotent: an existing
     * target (crash-and-retry between state write and snapshot commit) is
-    * replaced.
+    * replaced. The tmp name is unique PER ATTEMPT — two concurrent writers
+    * of the same target (speculative task + original, or a zombie attempt
+    * racing its retry) each stage their own bytes and the rename decides;
+    * a shared tmp name would let one attempt clobber the other mid-write
+    * and publish torn bytes.
     */
   def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
     val f = fs(path)
     val target = new Path(path)
-    val tmp = new Path(path + ".tmp")
+    val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString)
     val out = f.create(tmp, true)
     try out.write(bytes) finally out.close()
     if (f.exists(target)) f.delete(target, false)
