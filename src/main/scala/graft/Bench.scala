@@ -199,9 +199,12 @@ object Bench {
     // throttle-robust N→4N evidence: engine/hw at 16c over engine/hw at 4c
     // PAIRED WITHIN ONE PASS (mixing passes would divide ratios taken in
     // different box states), best pass wins — same best-of estimator as the
-    // throughput numbers
-    results("scaling_efficiency_hw_normalized") =
-      (1 to passes).map(p => passEff(16, p) / passEff(4, p)).max
+    // throughput numbers. Clamped at 1.0: a ratio above 1 only means one
+    // adjacent probe caught a throttle dip its crawl escaped (probe noise
+    // cuts both ways), and "kept ≥ the same hardware fraction" is the most
+    // that can honestly be claimed.
+    results("scaling_efficiency_hw_normalized") = math.min(1.0,
+      (1 to passes).map(p => passEff(16, p) / passEff(4, p)).max)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
