@@ -3,7 +3,7 @@ package graft.engine
 import java.io.ByteArrayOutputStream
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, FileUtil, Options, Path, UnsupportedFileSystemException}
 
 /** Hadoop-FileSystem-backed engine-state I/O.
   *
@@ -29,6 +29,19 @@ object Fs {
 
   def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
 
+  // FileContext per (scheme, authority): the overwrite-capable rename lives
+  // on the FileContext API, and constructing one per write would re-resolve
+  // the AbstractFileSystem on every bucket-file publish
+  @transient private lazy val fcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileContext]()
+
+  private def fc(path: String): FileContext = {
+    val uri = new Path(path).toUri
+    val key = Option(uri.getScheme).getOrElse("") + "://" +
+      Option(uri.getAuthority).getOrElse("")
+    fcCache.computeIfAbsent(key, _ => FileContext.getFileContext(uri, conf))
+  }
+
   def exists(path: String): Boolean = fs(path).exists(new Path(path))
 
   def mkdirs(path: String): Unit = { fs(path).mkdirs(new Path(path)); () }
@@ -52,23 +65,41 @@ object Fs {
     } finally in.close()
   }
 
-  /** Atomic-publish write: tmp file + rename. Idempotent: an existing
-    * target (crash-and-retry between state write and snapshot commit) is
-    * replaced. The tmp name is unique PER ATTEMPT — two concurrent writers
-    * of the same target (speculative task + original, or a zombie attempt
-    * racing its retry) each stage their own bytes and the rename decides;
-    * a shared tmp name would let one attempt clobber the other mid-write
-    * and publish torn bytes.
+  /** Atomic-publish write: tmp file + OVERWRITE-capable rename
+    * (`FileContext.rename(..., Options.Rename.OVERWRITE)`) — there is never
+    * a window where the target does not exist, even on replacement
+    * (crash-and-retry between state write and snapshot commit). The tmp name
+    * is unique PER ATTEMPT — two concurrent writers of the same target
+    * (speculative task + original, or a zombie attempt racing its retry)
+    * each stage their own bytes and the rename decides; a shared tmp name
+    * would let one attempt clobber the other mid-write and publish torn
+    * bytes. All payloads written through here are DETERMINISTIC functions of
+    * committed state, so whichever twin's rename lands last publishes the
+    * same bytes; on any failure the staged tmp is best-effort deleted (no
+    * .tmp-* garbage across task retries) and an already-published target —
+    * necessarily a twin's identical bytes — downgrades the failure to
+    * success.
     */
   def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
     val f = fs(path)
     val target = new Path(path)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString)
-    val out = f.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    if (f.exists(target)) f.delete(target, false)
-    if (!f.rename(tmp, target))
-      sys.error(s"rename $tmp -> $target failed")
+    try {
+      val out = f.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      try fc(path).rename(tmp, target, Options.Rename.OVERWRITE)
+      catch {
+        case _: UnsupportedFileSystemException | _: UnsupportedOperationException =>
+          // FS without a FileContext binding: legacy delete+rename (brief
+          // missing-target window; still crash-retry safe)
+          if (f.exists(target)) f.delete(target, false)
+          if (!f.rename(tmp, target)) sys.error(s"rename $tmp -> $target failed")
+      }
+    } catch {
+      case e: Throwable =>
+        try { f.delete(tmp, false); () } catch { case _: Exception => () }
+        if (!f.exists(target)) throw e
+    }
   }
 
   /** File names (not paths) directly under `dir`; empty if missing. */
