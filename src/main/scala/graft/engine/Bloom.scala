@@ -108,24 +108,19 @@ object Bloom {
 
 /** Executor-local bucket-file cache for bloom probes: deserialize each
   * probed bucket once per executor, keyed by the immutable (dir, bucket)
-  * identity of the committed bloom state.
+  * identity of the committed bloom state. Bounded [[LruCache]]: overflow
+  * evicts only the least-recently-probed entries instead of stampeding
+  * every thread into a full re-read.
   */
 object BloomCache {
   @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[BloomFilter]]()
+    new LruCache[(String, Int), Option[BloomFilter]](4096)
 
-  def get(dir: String, bucket: Int): Option[BloomFilter] = {
-    val key = (dir, bucket)
-    var v = cache.get(key)
-    if (v == null) {
-      val p = Bloom.bucketPath(dir, bucket)
-      v = if (Fs.exists(p)) Some(Bloom.deserialize(Fs.readAllBytes(p)))
-          else None
-      cache.put(key, v)
-      if (cache.size() > 4096) cache.clear()
+  def get(dir: String, bucket: Int): Option[BloomFilter] =
+    cache.get((dir, bucket)) { case (d, b) =>
+      val p = Bloom.bucketPath(d, b)
+      if (Fs.exists(p)) Some(Bloom.deserialize(Fs.readAllBytes(p))) else None
     }
-    v
-  }
 }
 
 /** Native Catalyst aggregate building a Bloom filter of long keys per group.

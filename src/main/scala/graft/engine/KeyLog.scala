@@ -142,20 +142,16 @@ object KeyLog {
 
 /** Executor-local run cache keyed by the immutable (dir, bucket) identity of
   * a committed run file (runs are write-once; new rounds write new dirs).
+  * Bounded [[LruCache]]: overflow evicts only the least-recently-probed
+  * entries instead of stampeding every thread into a full re-read.
   */
 object KeyLogCache {
   @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[(Array[Long], Array[Int])]]()
+    new LruCache[(String, Int), Option[(Array[Long], Array[Int])]](4096)
 
-  def get(dir: String, bucket: Int): Option[(Array[Long], Array[Int])] = {
-    val key = (dir, bucket)
-    var v = cache.get(key)
-    if (v == null) {
-      val p = KeyLog.runPath(dir, bucket)
-      v = if (Fs.exists(p)) Some(KeyLog.deserialize(Fs.readAllBytes(p))) else None
-      cache.put(key, v)
-      if (cache.size() > 4096) cache.clear()
+  def get(dir: String, bucket: Int): Option[(Array[Long], Array[Int])] =
+    cache.get((dir, bucket)) { case (d, b) =>
+      val p = KeyLog.runPath(d, b)
+      if (Fs.exists(p)) Some(KeyLog.deserialize(Fs.readAllBytes(p))) else None
     }
-    v
-  }
 }
