@@ -54,6 +54,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object CrawlEngine {
 
+  private val log = Log("crawl")
+
   /** Narrow row shipped to the fetcher — no payload columns.
     * `minIntervalMs` rides along for the wall-clock pacer (cfg.paceWallClock).
     */
@@ -309,8 +311,7 @@ object CrawlEngine {
       spark.read.schema(frontierSchema).parquet(fDir)
         .select($"hostBucket", $"urlHash", $"addedSeq".as("aux")),
       fkDir, cfg.numBuckets)
-    if (sys.env.contains("GRAFT_VERBOSE"))
-      println(f"[init] seed frontier write: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    log.debug(f"seed frontier write: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     val fCount = parquetRowCount(spark, fDir)
     val bloomDir = s"$outDir/bloom/r0"
     Bloom.init(bloomDir)
@@ -355,6 +356,9 @@ object CrawlEngine {
     while (!m.done && m.round + 1 < cfg.maxRounds) {
       m = round(spark, spec, cfg, outDir, m)
       Snapshot.commit(outDir, m)
+      log.info(s"round ${m.round} committed (v${m.snapshotId}): " +
+        s"scheduled=${m.totalScheduled} frontier=${m.frontierCount} " +
+        s"seen=${m.seenCount} fetchedOk=${m.fetchedCount} done=${m.done}")
       Snapshot.expire(outDir, retain = 3)
     }
     CrawlResult(outDir, m.round + 1, m.totalScheduled, m)
@@ -372,14 +376,7 @@ object CrawlEngine {
       m: Snapshot.Manifest): Snapshot.Manifest = {
     import spark.implicits._
     val r = m.round + 1
-    val verbose = sys.env.contains("GRAFT_VERBOSE")
-    def ph[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val v = f
-      if (verbose)
-        println(f"[round $r] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      v
-    }
+    def ph[T](name: String)(f: => T): T = log.timed(s"round $r $name")(f)
 
     val frontier = readFrontier(spark, m)
     val eligible = frontier.where($"notBeforeRound" <= r)
