@@ -143,7 +143,8 @@ object Bench {
     val headline = Vector("q1_agg", "q_count_pushdown", "q_broadcast_join",
       "q_window_quota", "q_anti_join", "q_event_window", "q_topk",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "text_quality",
-      "text_langid", "embed_knn", "embed_ann_lsh", "embed_ann_ivf")
+      "text_langid", "embed_knn", "embed_ann_lsh", "embed_ann_ivf",
+      "img_phash_neardup")
     try SparkEntry.queries("q_topk")(spark, sfDir).count() // session warmup
     catch { case _: Throwable => () }
     // best-of-2, passes interleaved (all queries once, then again): pass 1

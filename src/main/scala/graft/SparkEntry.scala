@@ -49,6 +49,8 @@ object SparkEntry {
     "embed_neardup_brute" -> (V.embedNearDupBrute _),
     "embed_ann_lsh" -> (V.embedAnnLsh _),
     "embed_ann_ivf" -> (V.embedAnnIvf _),
+    // multimodal: phash near-dup with a synthetic-phash oracle twin
+    "img_phash_neardup" -> (ImageOps.imgPhashNearDup _),
     // structured streaming (event-time window + stateful sessionization)
     "stream_event_window" -> (S.streamEventWindow _),
     "stream_sessionize" -> (S.streamSessionize _),
@@ -86,6 +88,7 @@ object SparkEntry {
     "embed_neardup_brute" -> V.embedNearDupBruteSql,
     "embed_ann_lsh" -> V.embedAnnLshSql,
     "embed_ann_ivf" -> V.embedAnnIvfSql,
+    "img_phash_neardup" -> ImageOps.imgPhashNearDupSql,
     "stream_event_window" -> S.streamEventWindowSql,
     "stream_sessionize" -> S.streamSessionizeSql
   )

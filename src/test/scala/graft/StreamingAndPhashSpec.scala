@@ -136,6 +136,23 @@ class StreamingAndPhashSpec extends AnyFunSuite {
     cands.unpersist(): Unit
   }
 
+  test("img_phash_neardup (oracled twin) ≡ brute force over the documents table") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "(doc_id div 7) * 8796093025688L + (doc_id % 7) AS ph")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2)
+      if h <= 3
+    } yield (a._1, b._1, h)).toSet
+    val got = ImageOps.imgPhashNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"got=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "synthetic phash groups must yield near-dup pairs")
+  }
+
   test("phash pigeonhole bucketing finds EXACTLY the brute-force hamming<=3 pairs") {
     import spark.implicits._
     // derive a phash table from a small deterministic crawl
