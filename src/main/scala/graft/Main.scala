@@ -58,6 +58,12 @@ object Main {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.fs.file.impl", graft.engine.NioLocalFs.ImplClass)
+      // syscall-lean local payload landing (see Bench.crawlRound): 1 MB
+      // write buffers over Hadoop's 4 KB default, stream (not mmap) local
+      // shuffle reads
+      .config("spark.hadoop.io.file.buffer.size", (1 << 20).toString)
+      .config("spark.storage.memoryMapThreshold", "256m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

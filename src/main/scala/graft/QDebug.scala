@@ -7,6 +7,7 @@ object QDebug {
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.adaptive.enabled","true")
       .config("spark.sql.session.timeZone","UTC")
+      .config("spark.hadoop.fs.file.impl", graft.engine.NioLocalFs.ImplClass)
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, dir)

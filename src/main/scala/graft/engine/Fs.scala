@@ -25,7 +25,10 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, FileUtil, Options, Path, U
   */
 object Fs {
 
-  @transient private lazy val conf = new Configuration()
+  // no-fork local permission ops ([[NioLocalFs]]): without native-hadoop,
+  // the default file:// binding forks a chmod per create — a kernel-side
+  // storm at 32 concurrent writers
+  @transient private lazy val conf = NioLocalFs.install(new Configuration())
 
   def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
 

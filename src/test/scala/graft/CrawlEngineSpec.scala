@@ -22,6 +22,7 @@ class CrawlEngineSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.hadoop.fs.file.impl", graft.engine.NioLocalFs.ImplClass)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

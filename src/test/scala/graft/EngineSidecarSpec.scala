@@ -4,7 +4,7 @@ import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.core._
-import graft.engine.{Bloom, CrawlEngine, Fs, LruCache}
+import graft.engine.{Bloom, CrawlEngine, Fs, LruCache, NioLocalFileSystem}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -19,6 +19,7 @@ class EngineSidecarSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.hadoop.fs.file.impl", graft.engine.NioLocalFs.ImplClass)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -116,5 +117,28 @@ class EngineSidecarSpec extends AnyFunSuite {
     jobs.foreach(_.get(60, TimeUnit.SECONDS))
     pool.shutdown()
     assert(cache.size <= 64, s"cache unbounded under concurrency: ${cache.size}")
+  }
+
+  test("file:// binds to NioLocalFileSystem and permission ops use java.nio " +
+    "(no chmod fork per create)") {
+    import java.nio.file.attribute.PosixFilePermission._
+    val dir = java.nio.file.Files.createTempDirectory("niofs").toString
+    val p = s"$dir/x.bin"
+    Fs.writeAtomic(p, Array[Byte](1, 2, 3))
+    assert(Fs.readAllBytes(p).toSeq == Seq[Byte](1, 2, 3))
+    // the JVM-wide cached file:// FileSystem must be the no-fork class —
+    // if a stock LocalFileSystem won the cache race, every parquet part,
+    // .crc, key-run and bloom file would fork a `chmod` (no native-hadoop
+    // in this container), which is the r4 kernel-storm regression
+    val fs = Fs.fs(p)
+    assert(fs.isInstanceOf[NioLocalFileSystem],
+      s"file:// resolved to ${fs.getClass.getName}")
+    fs.setPermission(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.permission.FsPermission("600"))
+    val perms = java.nio.file.Files.getPosixFilePermissions(
+      java.nio.file.Paths.get(p))
+    assert(perms == java.util.EnumSet.of(OWNER_READ, OWNER_WRITE),
+      s"expected rw------- via java.nio, got $perms")
+    Fs.delete(dir)
   }
 }

@@ -16,6 +16,7 @@ class OperatorsSpec extends AnyFunSuite {
     .appName("operators-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.hadoop.fs.file.impl", graft.engine.NioLocalFs.ImplClass)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -12,6 +12,7 @@ object ProbeBench {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.hadoop.fs.file.impl", graft.engine.NioLocalFs.ImplClass)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -13,6 +13,7 @@ object SchedDebug {
         .config("spark.sql.shuffle.partitions", cores.toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.hadoop.fs.file.impl", graft.engine.NioLocalFs.ImplClass)
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       try {

@@ -12,6 +12,7 @@ class StreamingAndPhashSpec extends AnyFunSuite {
     .appName("streaming-phash-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.hadoop.fs.file.impl", graft.engine.NioLocalFs.ImplClass)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

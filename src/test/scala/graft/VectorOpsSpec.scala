@@ -21,6 +21,7 @@ class VectorOpsSpec extends AnyFunSuite {
     .appName("vector-ops-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.hadoop.fs.file.impl", graft.engine.NioLocalFs.ImplClass)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
