@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ImageOps, RelationalOps => R, StreamingOps => S, TextOps => T, VectorOps => V, XmlOps => X}
+import graft.operators.{ImageOps, MediaOps => M, RelationalOps => R, StreamingOps => S, TextOps => T, VectorOps => V, XmlOps => X}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory
@@ -51,6 +51,10 @@ object SparkEntry {
     "embed_ann_ivf" -> (V.embedAnnIvf _),
     // multimodal: phash near-dup with a synthetic-phash oracle twin
     "img_phash_neardup" -> (ImageOps.imgPhashNearDup _),
+    // multimodal: real RIFF/WAVE parse + frame-container sampling,
+    // arithmetic oracle twins (MediaOps scaladoc explains the gate)
+    "audio_features" -> (M.audioFeatures _),
+    "video_frames" -> (M.videoFrames _),
     // structured streaming (event-time window + stateful sessionization)
     "stream_event_window" -> (S.streamEventWindow _),
     "stream_sessionize" -> (S.streamSessionize _),
@@ -89,6 +93,8 @@ object SparkEntry {
     "embed_ann_lsh" -> V.embedAnnLshSql,
     "embed_ann_ivf" -> V.embedAnnIvfSql,
     "img_phash_neardup" -> ImageOps.imgPhashNearDupSql,
+    "audio_features" -> M.audioFeaturesSql,
+    "video_frames" -> M.videoFramesSql,
     "stream_event_window" -> S.streamEventWindowSql,
     "stream_sessionize" -> S.streamSessionizeSql
   )
