@@ -157,7 +157,7 @@ object Bench {
               stageName.getOrDefault(sid, "?"))
         }
       }
-      deleteRecursively(new java.io.File(out)) // ~3.5 GB of payload per run
+      graft.engine.Fs.deleteLocalDir(new java.io.File(out)) // ~3.5 GB of payload per run
       (res.totalScheduled, secs, cpuNs.get() / 1e9)
     } finally spark.stop()
   }
@@ -183,11 +183,6 @@ object Bench {
     if (dTotal <= 0) 0.0 else 100.0 * (after._1 - before._1) / dTotal
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -209,7 +204,7 @@ object Bench {
       "q_window_quota", "q_anti_join", "q_event_window", "q_topk",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "text_quality",
       "text_langid", "embed_knn", "embed_ann_lsh", "embed_ann_ivf",
-      "img_phash_neardup")
+      "img_phash_neardup", "audio_features", "video_frames")
     try SparkEntry.queries("q_topk")(spark, sfDir).count() // session warmup
     catch { case _: Throwable => () }
     // best-of-2, passes interleaved (all queries once, then again): pass 1

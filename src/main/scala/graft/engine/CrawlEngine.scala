@@ -335,6 +335,48 @@ object CrawlEngine {
     CrawlResult(outDir, m.round + 1, m.totalScheduled, m)
   }
 
+  /** One-time layout migration for a crawl dir committed by a pre-fold
+    * build, whose key sidecars accumulated up to ~16 run dirs plus live
+    * tombstone runs (the current probe path requires the folded
+    * single-run-per-sidecar invariant and would refuse to resume it).
+    * Folds each sidecar into one run dir — the frontier fold drops
+    * tombstoned versions, so the migrated run is live-members-only exactly
+    * like a current-build fold — and commits the migrated manifest.
+    * Idempotent: an already-folded layout is returned unchanged, so calling
+    * this unconditionally before [[resume]] is safe.
+    */
+  def migrateKeySidecars(
+      spark: SparkSession,
+      outDir: String,
+      numBuckets: Int): Snapshot.Manifest = {
+    val m = Snapshot.latest(outDir).getOrElse(
+      sys.error(s"no committed snapshot under $outDir"))
+    if (m.seenKeyDirs.size <= 1 && m.frontierKeyDirs.size <= 1) return m
+    val seenKeyDirs =
+      if (m.seenKeyDirs.size <= 1) m.seenKeyDirs
+      else {
+        val d = s"$outDir/seen_keys/migrate-v${m.snapshotId + 1}"
+        KeyLog.fold(spark, None, m.seenKeyDirs, Nil, d, numBuckets,
+          keepMaxAuxPerHash = true)
+        Vector(d)
+      }
+    val frontierKeyDirs =
+      if (m.frontierKeyDirs.size <= 1) m.frontierKeyDirs
+      else {
+        val d = s"$outDir/frontier_keys/migrate-v${m.snapshotId + 1}"
+        // rem dirs stay in the manifest afterwards: readFrontier still
+        // filters the parquet add log with them until the next compaction
+        KeyLog.fold(spark, None, m.frontierKeyDirs, m.frontierRemDirs, d,
+          numBuckets, keepMaxAuxPerHash = false)
+        Vector(d)
+      }
+    val migrated = m.copy(snapshotId = m.snapshotId + 1,
+      parentId = m.snapshotId,
+      seenKeyDirs = seenKeyDirs, frontierKeyDirs = frontierKeyDirs)
+    Snapshot.commit(outDir, migrated)
+    migrated
+  }
+
   /** Exact resume from the latest committed snapshot. */
   def resume(
       spark: SparkSession,
@@ -606,7 +648,9 @@ object CrawlEngine {
     // no tombstone dirs at all (the unfolded frontierRemDirs exist only to
     // filter the parquet add log in readFrontier).
     require(m.seenKeyDirs.size <= 1 && m.frontierKeyDirs.size == 1,
-      s"key sidecars must be folded: seen=${m.seenKeyDirs.size} frontier=${m.frontierKeyDirs.size}")
+      s"key sidecars must be folded (seen=${m.seenKeyDirs.size} " +
+        s"frontier=${m.frontierKeyDirs.size}) — a crawl dir committed by a " +
+        "pre-fold build resumes via CrawlEngine.migrateKeySidecars first")
     val notSeen =
       !KeyLog.seenLiveCol(m.bloomDir, m.seenKeyDirs, r, cfg.ttlRounds)(
         $"hostBucket", $"urlHash")
@@ -698,16 +742,20 @@ object CrawlEngine {
     // the attempts log lands per round, paid to keep the probe flat.
     val seenKeyDelta = s"$outDir/seen_keys/d$r"
     val seenKeyDir = s"$outDir/seen_keys/r$r"
+    // a round that triggers seen compaction rebuilds compact key runs from
+    // the compacted parquet, so folding here would be discarded work AND an
+    // orphan dir no manifest ever references — skip it (the predicate is
+    // the compaction branch's, on the same delta count)
+    val seenWillCompact = m.seenDirs.size + 1 >= 16
     val seenKeysF = Future(ph("writeSeenKeys") {
       val n = KeyLog.write(seenDelta.select($"hostBucket", $"urlHash",
         $"seenRound".as("aux")), seenKeyDelta, cfg.numBuckets)
-      if (n > 0) {
+      if (n > 0 && !seenWillCompact)
         KeyLog.fold(spark, m.seenKeyDirs.headOption, Seq(seenKeyDelta), Nil,
           seenKeyDir, cfg.numBuckets, keepMaxAuxPerHash = true,
           minLiveAux =
             if (cfg.ttlRounds > 0) r - cfg.ttlRounds + 1 else Int.MinValue)
-        Fs.delete(seenKeyDelta) // ephemeral: superseded by the fold
-      }
+      Fs.delete(seenKeyDelta) // ephemeral: superseded by fold or compaction
       n
     })
     val addsF = Future(ph("writeFrontierAdds") {
@@ -732,12 +780,20 @@ object CrawlEngine {
     // touches a tombstone dir (the adds×rems search the r3 verdict flagged)
     val frontierKeyDir = s"$outDir/frontier_keys/r$r"
     val foldF = addsF.zip(removalsF).map { case (a, rm) =>
-      if (a > 0 || rm > 0) ph("foldFrontierKeys") {
-        KeyLog.fold(spark, m.frontierKeyDirs.headOption,
-          if (a > 0) Seq(addKeyDir) else Nil,
-          if (rm > 0) Seq(remDir) else Nil,
-          frontierKeyDir, cfg.numBuckets, keepMaxAuxPerHash = false)
-        Fs.delete(addKeyDir) // ephemeral: superseded by the fold
+      // same skip as the seen fold: a compacting round writes compact key
+      // runs from the compacted frontier, so the per-round fold would be
+      // orphaned (predicate mirrors the compaction branch's exactly)
+      val willCompact =
+        m.frontierAddDirs.size + (if (a > 0) 1 else 0) +
+          m.frontierRemDirs.size + (if (rm > 0) 1 else 0) >= 16
+      if (a > 0 || rm > 0) {
+        if (!willCompact) ph("foldFrontierKeys") {
+          KeyLog.fold(spark, m.frontierKeyDirs.headOption,
+            if (a > 0) Seq(addKeyDir) else Nil,
+            if (rm > 0) Seq(remDir) else Nil,
+            frontierKeyDir, cfg.numBuckets, keepMaxAuxPerHash = false)
+        }
+        if (a > 0) Fs.delete(addKeyDir) // ephemeral: superseded either way
       }
       (a, rm)
     }

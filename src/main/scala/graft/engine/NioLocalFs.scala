@@ -31,6 +31,10 @@ import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
   * `mkOneDirWithMode` — because both dispatch through it.
   */
 class NioRawLocalFileSystem extends RawLocalFileSystem {
+  // the RawLocalFileSystem base leaves getScheme at FileSystem's
+  // throw-by-default (only the Checksum wrapper implements it)
+  override def getScheme: String = "file"
+
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     val bits = permission.toShort.toInt
     val set = EnumSet.noneOf(classOf[PosixFilePermission])

@@ -156,19 +156,25 @@ object ImageOps {
     * hashes differing only in the low 3 bits (hamming ≤ 3 — all flagged),
     * while distinct groups are separated by a large odd multiplier (FNV
     * prime ≪ 3) whose popcount spread keeps cross-group pairs far apart.
+    * The group index is taken mod 10^6 so the product stays below 2^63 for
+    * ANY doc_id — DuckDB errors on BIGINT overflow where the JVM wraps, so
+    * unbounded `(doc_id/7) * prime` would split the twins at doc_id ≈ 7.3M
+    * (groups 10^6 apart then share a hash: hamming 0, flagged by both
+    * engines identically — the twin equality is what matters, not group
+    * uniqueness).
     * The oracle is the O(N²) brute-force pair join — trivially correct at
     * oracle scale, exactly what the lossless candidate stage must equal.
     */
   def imgPhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id",
-        "(doc_id div 7) * 8796093025688L + (doc_id % 7) AS ph")
+        "((doc_id div 7) % 1000000) * 8796093025688L + (doc_id % 7) AS ph")
     phashNearDup(docs, "doc_id", "ph").selectExpr(
       "img_a", "img_b", "cast(hamming AS int) AS hamming")
   }
 
   val imgPhashNearDupSql: String =
-    """WITH t AS (SELECT doc_id, (doc_id // 7) * 8796093025688 + (doc_id % 7) AS ph
+    """WITH t AS (SELECT doc_id, ((doc_id // 7) % 1000000) * 8796093025688 + (doc_id % 7) AS ph
       |           FROM documents)
       |SELECT a.doc_id AS img_a, b.doc_id AS img_b,
       |       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
@@ -223,13 +229,7 @@ object ImageOps {
     val spark = df.sparkSession
     val rows = java.util.Arrays.asList(df.collect(): _*)
     val pinned = spark.createDataFrame(rows, df.schema).coalesce(1)
-    deleteRecursively(new java.io.File(out))
+    graft.engine.Fs.deleteLocalDir(new java.io.File(out))
     pinned
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
   }
 }

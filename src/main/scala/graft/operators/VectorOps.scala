@@ -343,7 +343,10 @@ object VectorOps {
     * of (n, ids) in both engines).
     */
   private def ivfCentsRow(e: DataFrame, n: Long): DataFrame = {
-    require(n >= 16, s"IVF needs >= 16 vectors, got $n — use embedKnn at this size")
+    // step clamps at 1 so any n (even degenerate 1-row tables) yields a
+    // valid quantizer — and, critically, the SAME one as the SQL twin's
+    // GREATEST(1, count // k): the operator and its oracle must share a
+    // domain, not just agree where both happen to run
     val step = math.max(1L, n / ivfK(n))
     e.where(expr(ivfHashSpark) % step === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))

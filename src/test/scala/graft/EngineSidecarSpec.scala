@@ -70,6 +70,23 @@ class EngineSidecarSpec extends AnyFunSuite {
       f"(${deadAtCompact.length} dead keys, fpp=${cfg.bloomFpp})")
     assert(rate <= 0.25,
       f"rebuilt filter still passes $rate%.2f of TTL-dead keys (want ~fpp)")
+
+    // no orphan key-run dirs: every surviving seen_keys/frontier_keys dir
+    // must be referenced by a retained manifest — a compacting round must
+    // not leave its per-round fold (or any ephemeral delta) behind, or one
+    // full O(total-keys) sidecar copy leaks per compaction at design scale
+    import graft.engine.Snapshot
+    val retainedIds = Fs.list(s"$out/meta")
+      .collect { case s if s.matches("v\\d+\\.json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .sorted.takeRight(3)
+    val referenced = retainedIds.flatMap { id =>
+      val mm = Snapshot.read(out, id)
+      mm.seenKeyDirs ++ mm.frontierKeyDirs
+    }.toSet
+    for (sub <- Seq("seen_keys", "frontier_keys"); name <- Fs.list(s"$out/$sub"))
+      assert(referenced.contains(s"$out/$sub/$name"),
+        s"orphan key-run dir not referenced by any retained manifest: $sub/$name")
   }
 
   test("LruCache: hot entries survive overflow, size stays bounded") {
@@ -119,19 +136,20 @@ class EngineSidecarSpec extends AnyFunSuite {
     assert(cache.size <= 64, s"cache unbounded under concurrency: ${cache.size}")
   }
 
-  test("file:// binds to NioLocalFileSystem and permission ops use java.nio " +
-    "(no chmod fork per create)") {
+  test("file:// binds to the pinned no-fork raw FS and permission ops use " +
+    "java.nio (no chmod fork per create)") {
     import java.nio.file.attribute.PosixFilePermission._
     val dir = java.nio.file.Files.createTempDirectory("niofs").toString
     val p = s"$dir/x.bin"
     Fs.writeAtomic(p, Array[Byte](1, 2, 3))
     assert(Fs.readAllBytes(p).toSeq == Seq[Byte](1, 2, 3))
-    // the JVM-wide cached file:// FileSystem must be the no-fork class —
-    // if a stock LocalFileSystem won the cache race, every parquet part,
-    // .crc, key-run and bloom file would fork a `chmod` (no native-hadoop
-    // in this container), which is the r4 kernel-storm regression
+    // Fs holds its own file:// instance — the global FileSystem cache keys
+    // on (scheme, authority, ugi) and ignores fs.file.impl, so relying on
+    // FileSystem.get would hand this object a stock forking LocalFileSystem
+    // whenever another code path resolved file:// first (the r4
+    // kernel-storm regression, reintroduced by cache race)
     val fs = Fs.fs(p)
-    assert(fs.isInstanceOf[NioLocalFileSystem],
+    assert(fs.isInstanceOf[graft.engine.NioRawLocalFileSystem],
       s"file:// resolved to ${fs.getClass.getName}")
     fs.setPermission(new org.apache.hadoop.fs.Path(p),
       new org.apache.hadoop.fs.permission.FsPermission("600"))
@@ -139,6 +157,80 @@ class EngineSidecarSpec extends AnyFunSuite {
       java.nio.file.Paths.get(p))
     assert(perms == java.util.EnumSet.of(OWNER_READ, OWNER_WRITE),
       s"expected rw------- via java.nio, got $perms")
+    // Spark's data plane still binds the checksummed no-fork class through
+    // spark.hadoop.fs.file.impl (set by every in-repo session builder)
+    assert(spark.sparkContext.hadoopConfiguration
+      .get(graft.engine.NioLocalFs.ImplKey) == graft.engine.NioLocalFs.ImplClass)
     Fs.delete(dir)
+  }
+
+  test("writeAtomic on file://: atomic replace, no .crc shadows, no tmp garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("watomic").toString
+    val p = s"$dir/state.bin"
+    Fs.writeAtomic(p, Array[Byte](1, 1, 1))
+    // replacement (crash-retry republish) goes through nio ATOMIC_MOVE:
+    // POSIX rename(2) swaps the target in place — no missing-target window
+    Fs.writeAtomic(p, Array[Byte](2, 2, 2, 2))
+    assert(Fs.readAllBytes(p).toSeq == Seq[Byte](2, 2, 2, 2))
+    // engine state skips the checksum layer (sidecar files carry their own
+    // magic) and failed/staged attempts never leave .tmp-* garbage behind
+    assert(Fs.list(dir) == Vector("state.bin"), Fs.list(dir).toString)
+    Fs.delete(dir)
+  }
+
+  test("migrateKeySidecars: pre-fold multi-run layout folds to single runs " +
+    "with identical probe semantics") {
+    import graft.engine.{KeyLog, Snapshot}
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("migrate").toString
+    val buckets = 8
+    def rows(hs: Seq[Long], aux: Int) =
+      spark.createDataFrame(hs.map(h =>
+        ((((h % buckets) + buckets) % buckets).toInt, h, aux)))
+        .toDF("hostBucket", "urlHash", "aux")
+    // legacy seen layout: 3 unfolded run dirs, overlapping hashes re-stamped
+    val seenKeyDirs = Vector.tabulate(3) { i =>
+      val d = s"$out/seen_keys/k$i"
+      KeyLog.write(rows((0L until 40L).filter(h => (h + i) % 3 == 0), i + 1), d, buckets)
+      d
+    }
+    // legacy frontier layout: 2 add-run dirs + live tombstones for SOME
+    // versions (h in 5..24 leaves version 0; 10..24 stays live via version 1)
+    val fk = Vector(s"$out/frontier_keys/k0", s"$out/frontier_keys/k1")
+    KeyLog.write(rows(0L until 30L, 0), fk(0), buckets)
+    KeyLog.write(rows(10L until 40L, 1), fk(1), buckets)
+    val remDir = s"$out/frontier_rem/r1"
+    KeyLog.write(rows(5L until 25L, 0), remDir, buckets)
+    val bloomDir = s"$out/bloom/r0"
+    Bloom.init(bloomDir)
+    val m0 = Snapshot.Manifest(0, -1, 1, 0L,
+      Vector.empty, fk, Vector(remDir), Vector.empty, seenKeyDirs,
+      Vector.empty, Vector.empty, Vector.empty, bloomDir, 0L, 0L, 0L,
+      done = false)
+    Snapshot.commit(out, m0)
+
+    val m1 = CrawlEngine.migrateKeySidecars(spark, out, buckets)
+    assert(m1.snapshotId == 1 && m1.parentId == 0)
+    assert(m1.seenKeyDirs.size == 1 && m1.frontierKeyDirs.size == 1)
+    assert(m1.frontierRemDirs == Vector(remDir)) // kept for readFrontier
+    // idempotent: a folded layout migrates to itself
+    assert(CrawlEngine.migrateKeySidecars(spark, out, buckets) == m1)
+
+    // probe parity on present, tombstoned, and absent keys
+    val probe = rows(0L until 60L, 0).select(col("hostBucket"), col("urlHash"))
+    val cmp = probe.select(
+      KeyLog.seenLiveCol(bloomDir, seenKeyDirs, 2, 0)(
+        col("hostBucket"), col("urlHash")).as("seenLegacy"),
+      KeyLog.seenLiveCol(bloomDir, m1.seenKeyDirs, 2, 0)(
+        col("hostBucket"), col("urlHash")).as("seenFolded"),
+      KeyLog.memberLiveCol(fk, Vector(remDir))(
+        col("hostBucket"), col("urlHash")).as("memLegacy"),
+      KeyLog.memberLiveCol(m1.frontierKeyDirs, Seq.empty)(
+        col("hostBucket"), col("urlHash")).as("memFolded")).collect()
+    assert(cmp.forall(r => r.getBoolean(0) == r.getBoolean(1)), "seen probe diverged")
+    assert(cmp.forall(r => r.getBoolean(2) == r.getBoolean(3)), "member probe diverged")
+    assert(cmp.count(_.getBoolean(2)) > 0 && cmp.exists(!_.getBoolean(2)),
+      "vacuous member sample")
+    Fs.delete(out)
   }
 }

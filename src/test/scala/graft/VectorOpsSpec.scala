@@ -145,4 +145,22 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.85, f"recall $recall%.3f < 0.85")
     assert(frac < 0.10, f"candidate fraction $frac%.3f >= 0.10 — IVF is not pruning")
   }
+
+  test("embed_ann_ivf on a tiny table (n < 16): degenerate quantizer still " +
+    "answers, matching the SQL twin's domain") {
+    // the step = max(1, n/k) clamp must make ANY n a valid quantizer — the
+    // DuckDB twin handles all n via GREATEST, and an operator must share
+    // its oracle's domain (r4 review: a require(n >= 16) split them)
+    import spark.implicits._
+    val tiny = java.nio.file.Files.createTempDirectory("ivf-tiny").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .where($"vec_id" < 10)
+      .write.mode("overwrite").parquet(s"$tiny/embeddings.parquet")
+    val out = VectorOps.embedAnnIvf(spark, tiny)
+      .select("query_id", "neighbor_id", "rank").collect()
+    assert(out.nonEmpty, "tiny-n IVF returned nothing")
+    assert(out.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 3))
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    graft.engine.Fs.delete(tiny)
+  }
 }
