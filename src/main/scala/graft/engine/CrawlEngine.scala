@@ -341,9 +341,10 @@ object CrawlEngine {
     * single-run-per-sidecar invariant and would refuse to resume it).
     * Folds each sidecar into one run dir — the frontier fold drops
     * tombstoned versions, so the migrated run is live-members-only exactly
-    * like a current-build fold — and commits the migrated manifest.
-    * Idempotent: an already-folded layout is returned unchanged, so calling
-    * this unconditionally before [[resume]] is safe.
+    * like a current-build fold — and commits the migrated manifest stamped
+    * with the current [[Snapshot.Fmt]]. Idempotent: a current-format layout
+    * is returned unchanged, so calling this unconditionally before
+    * [[resume]] is safe.
     */
   def migrateKeySidecars(
       spark: SparkSession,
@@ -351,7 +352,7 @@ object CrawlEngine {
       numBuckets: Int): Snapshot.Manifest = {
     val m = Snapshot.latest(outDir).getOrElse(
       sys.error(s"no committed snapshot under $outDir"))
-    if (m.seenKeyDirs.size <= 1 && m.frontierKeyDirs.size <= 1) return m
+    if (m.fmt >= Snapshot.Fmt) return m
     val seenKeyDirs =
       if (m.seenKeyDirs.size <= 1) m.seenKeyDirs
       else {
@@ -361,17 +362,21 @@ object CrawlEngine {
         Vector(d)
       }
     val frontierKeyDirs =
-      if (m.frontierKeyDirs.size <= 1) m.frontierKeyDirs
+      // a fmt-1 single-run dir can still carry tombstoned versions (its
+      // rem runs were never folded out), so the frontier fold runs whenever
+      // tombstones exist, not just on multi-run shapes. The rem dirs stay
+      // in the manifest afterwards: readFrontier still filters the parquet
+      // add log with them until the next compaction.
+      if (m.frontierKeyDirs.size <= 1 && m.frontierRemDirs.isEmpty)
+        m.frontierKeyDirs
       else {
         val d = s"$outDir/frontier_keys/migrate-v${m.snapshotId + 1}"
-        // rem dirs stay in the manifest afterwards: readFrontier still
-        // filters the parquet add log with them until the next compaction
         KeyLog.fold(spark, None, m.frontierKeyDirs, m.frontierRemDirs, d,
           numBuckets, keepMaxAuxPerHash = false)
         Vector(d)
       }
     val migrated = m.copy(snapshotId = m.snapshotId + 1,
-      parentId = m.snapshotId,
+      parentId = m.snapshotId, fmt = Snapshot.Fmt,
       seenKeyDirs = seenKeyDirs, frontierKeyDirs = frontierKeyDirs)
     Snapshot.commit(outDir, migrated)
     migrated
@@ -385,6 +390,12 @@ object CrawlEngine {
       outDir: String): CrawlResult = {
     val m = Snapshot.latest(outDir).getOrElse(
       sys.error(s"no committed snapshot under $outDir"))
+    // validate the layout BEFORE any round runs — a pre-fold dir failing
+    // the mid-round invariant check would already have fetched a full
+    // round's URLs before aborting
+    require(m.fmt >= Snapshot.Fmt,
+      s"$outDir was committed by a pre-fold build (manifest fmt=${m.fmt}); " +
+        "run CrawlEngine.migrateKeySidecars once before resuming")
     loop(spark, spec, cfg, outDir, m)
   }
 

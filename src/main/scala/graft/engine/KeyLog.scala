@@ -163,8 +163,29 @@ object KeyLog {
         }
         i = 0; while (i < n) { idx(i) = i; i += 1 }
         // total (hash, aux) order → byte-deterministic output (writeAtomic
-        // twin attempts must publish identical bytes)
-        val sorted = idx.sortBy(j => (hs(j), as(j)))
+        // twin attempts must publish identical bytes). Hand-rolled index
+        // merge sort: a generic sortBy here allocates a boxed (Long, Int)
+        // tuple PER COMPARISON on a path that moves ~30 MB/bucket per round
+        // at the design point — tens of millions of allocations of pure GC
+        // pressure per bucket task.
+        def lt(x: Int, y: Int): Boolean =
+          hs(x) < hs(y) || (hs(x) == hs(y) && as(x) < as(y))
+        val tmp = new Array[Int](n)
+        def msort(lo: Int, hi: Int): Unit = if (hi - lo > 1) {
+          val mid = (lo + hi) >>> 1
+          msort(lo, mid); msort(mid, hi)
+          System.arraycopy(idx, lo, tmp, lo, hi - lo)
+          var a = lo; var c = mid; var o = lo
+          while (a < mid && c < hi) {
+            if (lt(tmp(c), tmp(a))) { idx(o) = tmp(c); c += 1 }
+            else { idx(o) = tmp(a); a += 1 }
+            o += 1
+          }
+          while (a < mid) { idx(o) = tmp(a); a += 1; o += 1 }
+          while (c < hi) { idx(o) = tmp(c); c += 1; o += 1 }
+        }
+        msort(0, n)
+        val sorted = idx
         val outH = Array.newBuilder[Long]
         val outA = Array.newBuilder[Int]
         def dropped(h: Long, a: Int): Boolean =

@@ -40,6 +40,12 @@ object Snapshot {
     * @param seenCount   cumulative seen-stamp count between compactions (a TTL
     *                    refetch re-stamps the same URL); re-baselined to the
     *                    exact distinct-key count at each compaction
+    * @param fmt         manifest layout format. 1 = pre-fold builds (key
+    *                    sidecars accumulate run dirs, tombstones live);
+    *                    2 = folded single-run sidecars. A fmt-1 dir is shape-
+    *                    indistinguishable from fmt-2 when it has one key dir
+    *                    plus live tombstones, so the version — not the dir
+    *                    count — is what resume validates
     */
   case class Manifest(
       snapshotId: Int,
@@ -58,7 +64,11 @@ object Snapshot {
       frontierCount: Long,
       seenCount: Long,
       fetchedCount: Long,
-      done: Boolean)
+      done: Boolean,
+      fmt: Int = Snapshot.Fmt)
+
+  /** Current manifest layout format (see [[Manifest.fmt]]). */
+  val Fmt = 2
 
   private def metaDir(root: String): String = s"$root/meta"
 
@@ -127,7 +137,8 @@ object Snapshot {
        |"fetchedDirs":${arr(m.fetchedDirs)},
        |"scheduleDirs":${arr(m.scheduleDirs)},"metricsDirs":${arr(m.metricsDirs)},
        |"bloomDir":${q(m.bloomDir)},"frontierCount":${m.frontierCount},
-       |"seenCount":${m.seenCount},"fetchedCount":${m.fetchedCount},"done":${m.done}}"""
+       |"seenCount":${m.seenCount},"fetchedCount":${m.fetchedCount},
+       |"done":${m.done},"fmt":${m.fmt}}"""
       .stripMargin.replace("\n", "")
 
   def fromJson(json: String): Manifest = {
@@ -158,6 +169,9 @@ object Snapshot {
       strArr("seenDirs"), strArr("seenKeyDirs"),
       strArr("fetchedDirs"), strArr("scheduleDirs"), strArr("metricsDirs"),
       str("bloomDir"), num("frontierCount"), num("seenCount"),
-      num("fetchedCount"), bool("done"))
+      num("fetchedCount"), bool("done"),
+      // absent in manifests written by pre-fold builds
+      fmt = "\"fmt\":(-?\\d+)".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(1))
   }
 }

@@ -136,10 +136,14 @@ object ImageOps {
     require(maxDist <= 3, "4-chunk pigeonhole covers hamming <= 3")
     val spark = df.sparkSession
     import spark.implicits._
-    // distinct: a TTL-refetched id may appear in several rows; the verify
-    // join must stay 1:1 with the (already-distinct) candidate pairs
-    val hashes = df.select(col(idCol).as("id"), col(phashCol).as("ph")).distinct()
-    phashCandidates(df, idCol, phashCol, bucketCap)
+    // ONE hash per id (deterministic max): a TTL-refetched id may appear in
+    // several rows with DIFFERENT phashes — a (id, ph)-distinct would then
+    // emit each candidate pair once per hash value with conflicting hamming,
+    // breaking (img_a, img_b) as a key. Candidates and verify must see the
+    // same functional id → ph mapping.
+    val hashes = df.groupBy(col(idCol).as("id"))
+      .agg(max(col(phashCol)).as("ph"))
+    phashCandidates(hashes, "id", "ph", bucketCap)
       .join(hashes.select($"id".as("img_a"), $"ph".as("pa")), Seq("img_a"))
       .join(hashes.select($"id".as("img_b"), $"ph".as("pb")), Seq("img_b"))
       .withColumn("hamming", expr("bit_count(pa ^ pb)"))

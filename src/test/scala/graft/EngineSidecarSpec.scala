@@ -206,14 +206,16 @@ class EngineSidecarSpec extends AnyFunSuite {
     val m0 = Snapshot.Manifest(0, -1, 1, 0L,
       Vector.empty, fk, Vector(remDir), Vector.empty, seenKeyDirs,
       Vector.empty, Vector.empty, Vector.empty, bloomDir, 0L, 0L, 0L,
-      done = false)
+      done = false, fmt = 1)
     Snapshot.commit(out, m0)
+    // fmt-1 manifests round-trip as fmt 1 (field absent in old JSON too)
+    assert(Snapshot.latest(out).get.fmt == 1)
 
     val m1 = CrawlEngine.migrateKeySidecars(spark, out, buckets)
-    assert(m1.snapshotId == 1 && m1.parentId == 0)
+    assert(m1.snapshotId == 1 && m1.parentId == 0 && m1.fmt == Snapshot.Fmt)
     assert(m1.seenKeyDirs.size == 1 && m1.frontierKeyDirs.size == 1)
     assert(m1.frontierRemDirs == Vector(remDir)) // kept for readFrontier
-    // idempotent: a folded layout migrates to itself
+    // idempotent: a current-format layout migrates to itself
     assert(CrawlEngine.migrateKeySidecars(spark, out, buckets) == m1)
 
     // probe parity on present, tombstoned, and absent keys
@@ -232,5 +234,31 @@ class EngineSidecarSpec extends AnyFunSuite {
     assert(cmp.count(_.getBoolean(2)) > 0 && cmp.exists(!_.getBoolean(2)),
       "vacuous member sample")
     Fs.delete(out)
+
+    // the shape-indistinguishable legacy corner: ONE key-run dir + live
+    // tombstones (a pre-fold build's tombstone-only round right after its
+    // compaction). Count-based gating would no-op here and the tombstone-
+    // free member probe would see removed versions as live — fmt gating
+    // plus the rem-aware fold must still drop them.
+    val out2 = java.nio.file.Files.createTempDirectory("migrate2").toString
+    val fk2 = s"$out2/frontier_keys/compact-r0"
+    KeyLog.write(rows(0L until 20L, 0), fk2, buckets)
+    val rem2 = s"$out2/frontier_rem/r1"
+    KeyLog.write(rows(0L until 10L, 0), rem2, buckets)
+    val bloom2 = s"$out2/bloom/r0"
+    Bloom.init(bloom2)
+    Snapshot.commit(out2, Snapshot.Manifest(0, -1, 1, 0L,
+      Vector.empty, Vector(fk2), Vector(rem2), Vector.empty, Vector.empty,
+      Vector.empty, Vector.empty, Vector.empty, bloom2, 0L, 0L, 0L,
+      done = false, fmt = 1))
+    val mig2 = CrawlEngine.migrateKeySidecars(spark, out2, buckets)
+    assert(mig2.frontierKeyDirs != Vector(fk2), "rem-laden run was not folded")
+    val cmp2 = rows(0L until 20L, 0).select(
+      KeyLog.memberLiveCol(mig2.frontierKeyDirs, Seq.empty)(
+        col("hostBucket"), col("urlHash")).as("live"),
+      col("urlHash")).collect()
+    assert(cmp2.forall(r => r.getBoolean(0) == (r.getLong(1) >= 10L)),
+      "migration left tombstoned versions live (or killed live ones)")
+    Fs.delete(out2)
   }
 }

@@ -140,7 +140,10 @@ class StreamingAndPhashSpec extends AnyFunSuite {
   test("img_phash_neardup (oracled twin) ≡ brute force over the documents table") {
     import spark.implicits._
     val rows = spark.read.parquet(s"$dir/documents.parquet")
-      .selectExpr("doc_id", "(doc_id div 7) * 8796093025688L + (doc_id % 7) AS ph")
+      // MUST mirror ImageOps.imgPhashNearDup's synthesis exactly, incl.
+      // the % 1000000 group wrap that keeps the product below 2^63
+      .selectExpr("doc_id",
+        "((doc_id div 7) % 1000000) * 8796093025688L + (doc_id % 7) AS ph")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val brute = (for {
       a <- rows; b <- rows
