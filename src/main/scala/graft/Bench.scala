@@ -109,7 +109,11 @@ object Bench {
     // skip the .crc shadow-file protocol on bench output: double creates +
     // a CRC32 pass over every payload byte, protecting a recomputable
     // attempts log on a local disk (a real deployment's HDFS/S3A has its
-    // own integrity layer; parquet keeps its footer-level integrity)
+    // own integrity layer; parquet keeps its footer-level integrity).
+    // NOTE: setWriteChecksum flips state on the JVM-CACHED file:// instance
+    // — a global toggle. Bench owns its JVM (sbt forks a fresh one per
+    // main), but Verify/tests must never share a JVM with Bench expecting
+    // checksummed local writes afterwards.
     val localFs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
     localFs.setWriteChecksum(false)

@@ -170,7 +170,23 @@ case class CrawlConfig(
     bloomExpectedItems: Long = 0L,
     bloomFpp: Double = 0.03,
     ttlRounds: Int = 0,
-    paceWallClock: Boolean = false)
+    paceWallClock: Boolean = false) {
+  // fail at construction, not rounds later (ref error discipline:
+  // medcrawler/config.py:55-68 __post_init__ raising on nonpositive
+  // budgets/TTLs)
+  require(maxResults > 0, s"maxResults must be positive, got $maxResults")
+  require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
+  require(maxRetries >= 1, s"maxRetries must be >= 1, got $maxRetries")
+  require(gamma > 0 && gamma <= 1, s"gamma must be in (0, 1], got $gamma")
+  require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+  require(roundMs > 0, s"roundMs must be positive, got $roundMs")
+  require(bloomExpectedItems >= 0,
+    s"bloomExpectedItems must be >= 0 (0 = auto), got $bloomExpectedItems")
+  require(bloomFpp > 0 && bloomFpp < 1,
+    s"bloomFpp must be in (0, 1), got $bloomFpp")
+  require(ttlRounds >= 0,
+    s"ttlRounds must be >= 0 (0 = seen-forever), got $ttlRounds")
+}
 
 /** Per-(round, host) metrics row — the fetch/dedup/politeness-wait metrics
   * table required by the north rule. Ref analog: batch success/failure tally,

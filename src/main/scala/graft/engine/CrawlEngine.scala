@@ -353,6 +353,19 @@ object CrawlEngine {
     val m = Snapshot.latest(outDir).getOrElse(
       sys.error(s"no committed snapshot under $outDir"))
     if (m.fmt >= Snapshot.Fmt) return m
+    // numBuckets sanity (ADVICE r4): a value smaller than the layout's real
+    // bucket count would silently drop every bucket >= numBuckets from the
+    // folded runs and stamp the loss permanent (fmt bump hides it from
+    // resume). Derive the floor from the existing run files and fail loudly.
+    val bucketRe = "b(\\d+)\\.keys".r
+    val maxBucket = (m.seenKeyDirs ++ m.frontierKeyDirs ++ m.frontierRemDirs)
+      .flatMap(Fs.list)
+      .collect { case bucketRe(n) => n.toInt }
+      .foldLeft(-1)(math.max)
+    require(numBuckets > maxBucket,
+      s"numBuckets=$numBuckets but the layout has run files up to " +
+        s"bucket $maxBucket — migrating would silently drop buckets >= " +
+        s"$numBuckets; pass the crawl's original numBuckets")
     val seenKeyDirs =
       if (m.seenKeyDirs.size <= 1) m.seenKeyDirs
       else {

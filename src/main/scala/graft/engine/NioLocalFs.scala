@@ -37,13 +37,23 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
 
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     val bits = permission.toShort.toInt
+    // setuid/setgid/sticky can't be expressed through PosixFilePermission —
+    // route those rare calls to the stock (forking) implementation rather
+    // than silently dropping the special bits
+    if ((bits & 0xE00) != 0) { super.setPermission(p, permission); return }
     val set = EnumSet.noneOf(classOf[PosixFilePermission])
     def add(bit: Int, perm: PosixFilePermission): Unit =
       if ((bits & bit) != 0) { set.add(perm); () }
     add(0x100, OWNER_READ); add(0x80, OWNER_WRITE); add(0x40, OWNER_EXECUTE)
     add(0x20, GROUP_READ); add(0x10, GROUP_WRITE); add(0x8, GROUP_EXECUTE)
     add(0x4, OTHERS_READ); add(0x2, OTHERS_WRITE); add(0x1, OTHERS_EXECUTE)
-    Files.setPosixFilePermissions(Paths.get(pathToFile(p).getPath), set); ()
+    try Files.setPosixFilePermissions(Paths.get(pathToFile(p).getPath), set)
+    catch {
+      // non-POSIX filesystem: degrade to the stock path instead of failing
+      // every create() that funnels through setPermission
+      case _: UnsupportedOperationException => super.setPermission(p, permission)
+    }
+    ()
   }
 }
 

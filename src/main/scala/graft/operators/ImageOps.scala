@@ -141,8 +141,13 @@ object ImageOps {
     // emit each candidate pair once per hash value with conflicting hamming,
     // breaking (img_a, img_b) as a key. Candidates and verify must see the
     // same functional id → ph mapping.
+    // persisted: three consumers (candidate generation + both verify joins)
+    // would otherwise each recompute the groupBy shuffle. Left cached for
+    // the query's lifetime — the block manager LRU-evicts it (id + hash
+    // rows, ~16 B each, negligible next to the payloads upstream).
     val hashes = df.groupBy(col(idCol).as("id"))
       .agg(max(col(phashCol)).as("ph"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     phashCandidates(hashes, "id", "ph", bucketCap)
       .join(hashes.select($"id".as("img_a"), $"ph".as("pa")), Seq("img_a"))
       .join(hashes.select($"id".as("img_b"), $"ph".as("pb")), Seq("img_b"))

@@ -94,6 +94,11 @@ object MediaOps {
       val id = new String(magic, "US-ASCII")
       val len = bb.getInt
       if (len < 0 || len > bb.remaining) return null
+      // RIFF pads odd-length chunks with one byte the chunk size does not
+      // count — skip len + (len & 1), clamped at EOF (a final odd chunk has
+      // no pad to skip)
+      def skip(from: Int): Unit =
+        bb.position(math.min(from + len + (len & 1), bb.limit()))
       if (id == "fmt ") {
         if (len < 16) return null
         val p = bb.position()
@@ -102,7 +107,7 @@ object MediaOps {
         if (fmt != 1 || ch != 1) return null          // PCM mono only
         bb.position(p + 14)                           // skip byteRate/align
         if (bb.getShort != 16) return null            // 16-bit only
-        bb.position(p + len)
+        skip(p)
         ok = true
       } else if (id == "data") {
         if (!ok) return null
@@ -110,7 +115,7 @@ object MediaOps {
         var i = 0
         while (i < out.length) { out(i) = bb.getShort; i += 1 }
         return (rate, out)
-      } else bb.position(bb.position() + len)         // skip foreign chunk
+      } else skip(bb.position())                      // skip foreign chunk
     }
     null
   }

@@ -51,6 +51,20 @@ class MediaOpsSpec extends AnyFunSuite {
     val parsed = MediaOps.parseWav(withList)
     assert(parsed != null && parsed._2.length == MediaOps.nSamplesOf(7L))
 
+    // an ODD-length foreign chunk carries a RIFF pad byte its size field
+    // does not count — the walk must skip len + 1 or it misaligns and a
+    // spec-valid real-world WAV silently "fails decode" (ADVICE r4)
+    val oddBody = Array.tabulate[Byte](9)(_.toByte)
+    val withOdd = ByteBuffer
+      .allocate(base.length + 8 + oddBody.length + 1).order(ByteOrder.LITTLE_ENDIAN)
+      .put(base, 0, fmtEnd)
+      .put("LIST".getBytes("US-ASCII")).putInt(oddBody.length).put(oddBody)
+      .put(0.toByte) // pad
+      .put(base, fmtEnd, base.length - fmtEnd).array()
+    val parsedOdd = MediaOps.parseWav(withOdd)
+    assert(parsedOdd != null && parsedOdd._2.length == MediaOps.nSamplesOf(7L),
+      "odd-length chunk misaligned the RIFF walk")
+
     // corrupt variants parse to null (never throw)
     assert(MediaOps.parseWav(null) == null)
     assert(MediaOps.parseWav(Array.emptyByteArray) == null)
