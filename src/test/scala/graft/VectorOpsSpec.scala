@@ -114,6 +114,43 @@ class VectorOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("embed_neardup on clustered embeddings: candidate fraction < 10% at " +
+    "within-cluster recall ≥ 0.9") {
+    // The r4 verdict's last quadratic-at-scale stage: fixed 4-bit codes made
+    // |bucket| ≈ N/16. With nearDupBits ~ log2(N/4) the candidate stage must
+    // probe a SMALL fraction of the pair space on the clustered corpus while
+    // 1-bit multiprobe holds recall. Truth here = same-cluster pairs at
+    // sim ≥ 0.4 (a label equi-join, cheap) — a lower bound on full recall
+    // since cross-cluster near-dups are vanishingly rare on this corpus.
+    import spark.implicits._
+    val e = spark.read.parquet(s"$clusteredDir/embeddings.parquet")
+    val simExpr = expr(
+      """round(aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)),
+        | cast(0 as double), (acc, v) -> acc + v)
+        | / (sqrt(aggregate(ea, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))
+        |  * sqrt(aggregate(eb, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))), 6)"""
+        .stripMargin)
+    val truth = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .withColumn("sim", simExpr).where($"sim" >= 0.4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size > 100000, s"degenerate clustered truth: ${truth.size}")
+    val found = VectorOps.embedNearDup(spark, clusteredDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    val pairSpace = clusteredN.toDouble * (clusteredN - 1) / 2.0
+    val frac = VectorOps.nearDupCandidates(spark, clusteredDir).count() / pairSpace
+    info(f"clustered embed_neardup within-cluster recall = $recall%.3f, " +
+      f"candidate fraction = $frac%.3f")
+    assert(recall >= 0.9, f"within-cluster recall $recall%.3f < 0.9")
+    assert(frac < 0.10,
+      f"candidate fraction $frac%.3f >= 0.10 — the code length is not pruning")
+  }
+
   test("embed_ann_lsh on clustered embeddings: fraction < 10% at recall ≥ 0.85") {
     // The adaptive code length (annBits ~ log2 N) keeps bucket occupancy
     // bounded, so the candidate stage probes a SMALL fraction of the pair
