@@ -48,7 +48,7 @@ object SparkEntry {
     "embed_neardup" -> (V.embedNearDup _),
     "embed_neardup_brute" -> (V.embedNearDupBrute _),
     "embed_ann_lsh" -> (V.embedAnnLsh _),
-    "embed_ann_ivf" -> (V.embedAnnIvf _),
+    "embed_ann_ivf" -> ((s, d) => V.embedAnnIvf(s, d)),
     // multimodal: phash near-dup with a synthetic-phash oracle twin
     "img_phash_neardup" -> (ImageOps.imgPhashNearDup _),
     // multimodal: real RIFF/WAVE parse + frame-container sampling,

@@ -183,6 +183,70 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(frac < 0.10, f"candidate fraction $frac%.3f >= 0.10 — IVF is not pruning")
   }
 
+  test("two-level IVF at the cap: engine output matches an independent " +
+    "reference of the two-level definition") {
+    // K hits IvfKCap only at N ≥ 4·K² ≈ 6.7·10^7 rows — out of unit-test
+    // range — so the cap is PARAMETERIZED: at kCap=10 the sf0.01 corpus
+    // (N=500, uncapped K=11) activates the same two-level code path the
+    // production cap activates at scale (kCap=10 picked because its strides
+    // sample a healthy 15-cell/5-super split; some steps resonate with the
+    // multiplicative hash on dense small ids — e.g. step 62 ≡ the
+    // multiplier's mod — and collapse the sample). Reference: an
+    // independent plain-Scala implementation of the definition (hash-stride
+    // cells, coarser-stride supers, cell→super argmax, vector→super→cell
+    // assignment, flat query probes, exact-cosine top-3), row-for-row.
+    import spark.implicits._
+    val kCap = 10
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val n = rows.length
+    val k = VectorOps.ivfK(n, kCap)
+    assert(k == kCap, s"cap not hit: k=$k — corpus too small for the test")
+    def ivfHash(id: Long): Long =
+      ((id % 1048576) * 2654435761L + (id / 1048576) * 2246822519L) % 4294967296L
+    val step = math.max(1L, n.toLong / k)
+    val k1 = VectorOps.ivfK1(k)
+    val step2 = step * math.max(1L, k.toLong / k1)
+    val cents = rows.filter { case (id, _) => ivfHash(id) % step == 0 }
+    val sups = rows.filter { case (id, _) => ivfHash(id) % step2 == 0 }
+    assert(sups.nonEmpty && sups.length < cents.length,
+      s"degenerate two-level split: ${cents.length} cells / ${sups.length} supers")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def argmax(v: Array[Float], cs: Seq[(Long, Array[Float])]): Long =
+      cs.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+    val sidOf = cents.map { case (cid, cv) => cid -> argmax(cv, sups) }.toMap
+    def cellOf(v: Array[Float]): Long = {
+      val vs = argmax(v, sups)
+      argmax(v, cents.filter { case (cid, _) => sidOf(cid) == vs || cid == vs })
+    }
+    val cellByVec = rows.map { case (id, v) => id -> cellOf(v) }.toMap
+    val expected = rows.filter(_._1 < 50).flatMap { case (q, qv) =>
+      val probed = cents.map { case (cid, cv) => (-cos(qv, cv), cid) }
+        .sorted.take(VectorOps.AnnIvfProbe).map(_._2).toSet
+      rows.filter { case (c, _) => c != q && probed(cellByVec(c)) }
+        .map { case (c, cv) => (-cos(qv, cv), c) }.sorted.take(3).zipWithIndex
+        .map { case ((ns, c), i) => (q, c, -ns, i + 1) }
+    }.toSet
+    val engine = VectorOps.embedAnnIvf(spark, dir, kCap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(expected.nonEmpty)
+    assert(engine == expected,
+      s"two-level mismatch: engine-only=${(engine -- expected).take(5)} " +
+        s"ref-only=${(expected -- engine).take(5)}")
+  }
+
   test("embed_ann_ivf on a tiny table (n < 16): degenerate quantizer still " +
     "answers, matching the SQL twin's domain") {
     // the step = max(1, n/k) clamp must make ANY n a valid quantizer — the
