@@ -26,6 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // burstable/shared boxes can stall the whole JVM for minutes (hypervisor
+  // steal or a full-heap GC); the 120s default then evicts the local-mode
+  // "driver" executor and every later suite fails with a dead SparkContext.
+  // There is no real network here — a long timeout only tolerates stalls.
+  "-Dspark.network.timeout=600s",
   // local-mode Spark = single JVM; image payload benchmarks churn GBs.
   // ParallelGC sustains the fetcher's allocation rate better than G1 at
   // 32 executor threads.

@@ -187,11 +187,67 @@ object Bench {
     if (dTotal <= 0) 0.0 else 100.0 * (after._1 - before._1) / dTotal
   }
 
+  /** One /proc/stat aggregate sample: (busyTicks, stealTicks, totalTicks);
+    * busy = total − idle − iowait. Zeros when unavailable (non-Linux).
+    */
+  def cpuSample(): (Long, Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        val steal = if (f.length > 7) f(7) else 0L
+        (f.sum - idle, steal, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L, 0L) }
+
+  /** Idle-wait pre-pass (r4 verdict "Next #3"): measured passes must not
+    * start on a hot box — a burstable vCPU entering pass 1 with a drained
+    * CPU/thermal budget depresses pass 1 against the adjacent raw ceilings
+    * and drags the raw wall-clock N→4N median under the gate even when the
+    * engine scales (the 12-min-idle Run B protocol hit 0.948/1.011 on the
+    * same code the hot-box run scored 0.716). Sleeps in `windowSecs` steps
+    * until `consecutive` windows show whole-box busy < busyMaxPct AND
+    * steal < stealMaxPct, or until maxWaitSecs elapses — then proceeds
+    * regardless (the per-pass steal/raw-ceiling columns still attribute).
+    * Returns the seconds waited.
+    */
+  def awaitCalmBox(maxWaitSecs: Int, windowSecs: Int = 15,
+      busyMaxPct: Double = 6.0, stealMaxPct: Double = 0.3,
+      consecutive: Int = 3): Double = {
+    val t0 = System.nanoTime()
+    var calm = 0
+    var last = cpuSample()
+    if (last == ((0L, 0L, 0L))) return 0.0 // no /proc/stat — nothing to watch
+    while (calm < consecutive &&
+        (System.nanoTime() - t0) / 1e9 < maxWaitSecs) {
+      Thread.sleep(windowSecs * 1000L)
+      val now = cpuSample()
+      val dTotal = now._3 - last._3
+      val busy = if (dTotal <= 0) 0.0 else 100.0 * (now._1 - last._1) / dTotal
+      val steal = if (dTotal <= 0) 0.0 else 100.0 * (now._2 - last._2) / dTotal
+      calm = if (busy < busyMaxPct && steal < stealMaxPct) calm + 1 else 0
+      System.err.println(
+        f"[bench] idle-wait window: busy $busy%.1f%% steal $steal%.2f%% " +
+          f"(calm $calm/$consecutive)")
+      last = now
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // calm-box pre-pass: the whole bench (operator queries AND crawl
+    // passes) starts only once the box has been near-idle for a few
+    // windows, or after the cap (SPARK_GRAFT_BENCH_IDLE_MAX seconds,
+    // 0 disables) — whichever comes first
+    val idleCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_MAX", "720").toInt
+    results("idle_waited_secs") =
+      if (idleCap > 0) awaitCalmBox(idleCap) else 0.0
 
     // ---- operator queries over the driver's testdata ----
     val spark = SparkSession.builder()
@@ -211,6 +267,12 @@ object Bench {
       "img_phash_neardup", "audio_features", "video_frames")
     try SparkEntry.queries("q_topk")(spark, sfDir).count() // session warmup
     catch { case _: Throwable => () }
+    // raw hardware probe BRACKETING the query block (r4 verdict "What's
+    // wrong #3"): a CPU-bound codec loop at full width, before and after,
+    // so an ANN-query regression is box-attributable from the JSON alone
+    // (engine times move with the ceiling -> box; ceiling flat -> engine)
+    val probeSpec = benchSpec(1)
+    results("query_block_raw_ceiling_pre") = rawFetchFor(cpus, 8.0, probeSpec)
     // best-of-2, passes interleaved (all queries once, then again): pass 1
     // pays each query's plan-compile + codegen, pass 2 measures the warm
     // operator. Only SUCCESSFUL runs record a time (a fast-failing query
@@ -231,6 +293,7 @@ object Bench {
       }
     }
     headline.foreach(n => results(n) = qBest.getOrElse(n, -1.0))
+    results("query_block_raw_ceiling_post") = rawFetchFor(cpus, 8.0, probeSpec)
     spark.stop()
 
     // ---- crawl throughput: warmup, then measure N vs 4N vs peak ----
@@ -329,7 +392,8 @@ object Bench {
       case (k, v) if v >= 0 && !k.startsWith("fetch_raw") &&
         !k.contains("urls_per_sec") && !k.startsWith("scaling") &&
         !k.contains("eff_vs") && !k.startsWith("cpu_ms") &&
-        !k.contains("steal") && !k.startsWith("cpu_overhead") => v
+        !k.contains("steal") && !k.startsWith("cpu_overhead") &&
+        !k.contains("raw_ceiling") && !k.startsWith("idle_") => v
     }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

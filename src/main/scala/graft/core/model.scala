@@ -159,6 +159,16 @@ case class HostPolicy(
   *                     the same budget (quota = roundMs/minIntervalMs)
   *                     without sleeping, and results are identical either
   *                     way; enable it when the engine fronts a live server
+  * @param compactEvery LSM major-compaction cadence: compact the seen
+  *                     parquet log when it reaches this many delta dirs,
+  *                     and the frontier add log at the same threshold. A
+  *                     long-TTL deployment can raise it to trade listing
+  *                     cost for compaction I/O (r4 verdict nit #7)
+  * @param l1MergeDenom tiered key-run folding: each round folds its delta
+  *                     into a small L1 run; L1 merges into the base run
+  *                     when L1 ≥ base/l1MergeDenom, so per-round sidecar
+  *                     write amplification is O(state/l1MergeDenom), not
+  *                     O(state), while probes touch ≤ 2 runs
   */
 case class CrawlConfig(
     maxResults: Long = 1000L,
@@ -170,7 +180,9 @@ case class CrawlConfig(
     bloomExpectedItems: Long = 0L,
     bloomFpp: Double = 0.03,
     ttlRounds: Int = 0,
-    paceWallClock: Boolean = false) {
+    paceWallClock: Boolean = false,
+    compactEvery: Int = 16,
+    l1MergeDenom: Int = 8) {
   // fail at construction, not rounds later (ref error discipline:
   // medcrawler/config.py:55-68 __post_init__ raising on nonpositive
   // budgets/TTLs)
@@ -186,6 +198,10 @@ case class CrawlConfig(
     s"bloomFpp must be in (0, 1), got $bloomFpp")
   require(ttlRounds >= 0,
     s"ttlRounds must be >= 0 (0 = seen-forever), got $ttlRounds")
+  require(compactEvery >= 2,
+    s"compactEvery must be >= 2, got $compactEvery")
+  require(l1MergeDenom >= 1,
+    s"l1MergeDenom must be >= 1, got $l1MergeDenom")
 }
 
 /** Per-(round, host) metrics row — the fetch/dedup/politeness-wait metrics

@@ -144,6 +144,17 @@ object Fs {
     }
   }
 
+  /** Total bytes of the files directly under `dir` (key-run dirs are flat);
+    * 0 if missing. Drives the tiered-fold merge trigger — a driver-side
+    * listing of ≤ numBuckets entries, no data read.
+    */
+  def dirBytes(dir: String): Long = {
+    val f = fs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) 0L
+    else f.listStatus(p).iterator.filter(_.isFile).map(_.getLen).sum
+  }
+
   /** File names (not paths) directly under `dir`; empty if missing. */
   def list(dir: String): Vector[String] = {
     val f = fs(dir)

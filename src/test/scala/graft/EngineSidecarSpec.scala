@@ -82,9 +82,10 @@ class EngineSidecarSpec extends AnyFunSuite {
       .sorted.takeRight(3)
     val referenced = retainedIds.flatMap { id =>
       val mm = Snapshot.read(out, id)
-      mm.seenKeyDirs ++ mm.frontierKeyDirs
+      mm.seenKeyDirs ++ mm.frontierKeyDirs ++ mm.frontierRemDirs
     }.toSet
-    for (sub <- Seq("seen_keys", "frontier_keys"); name <- Fs.list(s"$out/$sub"))
+    for (sub <- Seq("seen_keys", "frontier_keys", "frontier_rem");
+        name <- Fs.list(s"$out/$sub"))
       assert(referenced.contains(s"$out/$sub/$name"),
         s"orphan key-run dir not referenced by any retained manifest: $sub/$name")
   }
