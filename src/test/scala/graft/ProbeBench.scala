@@ -36,7 +36,25 @@ object ProbeBench {
         .persist()
       rows.count() // materialize input outside the timed region
 
+      // tiered arm: the same 10^6 keys split 7:1 into a base run + small L1
+      // run (the steady-state shape after tiered folding) — measures the
+      // marginal cost of the second binary search per probe
+      val baseDir = s"$dir/base"; val l1Dir = s"$dir/l1"
+      KeyLog.write(
+        spark.range(1000000).where(pmod($"id", lit(8)) =!= 0).select(
+          pmod(xxhash64($"id"), lit(buckets)).cast("int").as("hostBucket"),
+          xxhash64($"id", lit(1)).as("urlHash"),
+          lit(0).as("aux")),
+        baseDir, buckets)
+      KeyLog.write(
+        spark.range(1000000).where(pmod($"id", lit(8)) === 0).select(
+          pmod(xxhash64($"id"), lit(buckets)).cast("int").as("hostBucket"),
+          xxhash64($"id", lit(1)).as("urlHash"),
+          lit(0).as("aux")),
+        l1Dir, buckets)
+
       val cfg = ProbeExpr.MemberCfg(IndexedSeq(keyDir), IndexedSeq.empty)
+      val cfg2 = ProbeExpr.MemberCfg(IndexedSeq(baseDir, l1Dir), IndexedSeq.empty)
       val udfProbe = udf { (b: Int, h: Long) =>
         IndexedSeq(keyDir).exists { d =>
           KeyLogCache.get(d, b) match {
@@ -52,6 +70,7 @@ object ProbeBench {
           println(f"[probe-bench] $name pass$pass: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n hits)")
         }
       time("native-expr")(rows.where(ProbeExpr.memberLive(cfg)($"b", $"h")))
+      time("native-expr-2runs")(rows.where(ProbeExpr.memberLive(cfg2)($"b", $"h")))
       time("scala-udf")(rows.where(udfProbe($"b", $"h")))
       Fs.delete(dir)
     } finally spark.stop()
