@@ -273,13 +273,18 @@ object Bench {
     // (engine times move with the ceiling -> box; ceiling flat -> engine)
     val probeSpec = benchSpec(1)
     results("query_block_raw_ceiling_pre") = rawFetchFor(cpus, 8.0, probeSpec)
-    // best-of-2, passes interleaved (all queries once, then again): pass 1
-    // pays each query's plan-compile + codegen, pass 2 measures the warm
-    // operator. Only SUCCESSFUL runs record a time (a fast-failing query
-    // must not report its failure latency as a best, ADVICE r3); a query
-    // that never succeeds reports -1.
+    // best-of-N (default 3), passes interleaved (all queries once, then
+    // again): pass 1 pays each query's plan-compile + codegen, later passes
+    // measure the warm operator. Three passes because warm-operator times on
+    // this burstable box swing up to 6× pass-to-pass (measured: ann_ivf
+    // 3.2/3.9/20.0 s in ONE idle JVM) — a best-of-2 can land on two bursts
+    // and report a spurious regression. Only SUCCESSFUL runs record a time
+    // (a fast-failing query must not report its failure latency as a best,
+    // ADVICE r3); a query that never succeeds reports -1.
+    val queryPasses =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_PASSES", "3").toInt
     val qBest = scala.collection.mutable.Map.empty[String, Double]
-    for (pass <- 1 to 2; name <- headline) {
+    for (pass <- 1 to queryPasses; name <- headline) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
