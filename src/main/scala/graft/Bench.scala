@@ -170,16 +170,13 @@ object Bench {
     * line; (0, 0) when unavailable (non-Linux). Steal is time the
     * hypervisor ran OTHER tenants while this VM was runnable — the direct
     * "box was throttled, not the engine" line item the scaling evidence
-    * needs per measurement window.
+    * needs per measurement window. Delegates to [[cpuSample]] so there is
+    * exactly one /proc/stat parser to keep correct.
     */
-  def cpuStat(): (Long, Long) =
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
-      } finally src.close()
-    } catch { case _: Throwable => (0L, 0L) }
+  def cpuStat(): (Long, Long) = {
+    val (_, steal, total) = cpuSample()
+    (steal, total)
+  }
 
   /** %CPU stolen by the hypervisor across a measurement window. */
   def stealPct(before: (Long, Long), after: (Long, Long)): Double = {

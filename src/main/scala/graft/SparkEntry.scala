@@ -49,6 +49,11 @@ object SparkEntry {
     "embed_neardup_brute" -> (V.embedNearDupBrute _),
     "embed_ann_lsh" -> (V.embedAnnLsh _),
     "embed_ann_ivf" -> ((s, d) => V.embedAnnIvf(s, d)),
+    // the SAME operator pinned to a small centroid cap so the TWO-LEVEL
+    // coarse-quantizer branch (active at K = cap, i.e. N >= 4·cap² — far
+    // beyond any test corpus at the default 4096) runs under the driver's
+    // DuckDB gate every round, twin included
+    "embed_ann_ivf_2l" -> ((s, d) => V.embedAnnIvf(s, d, kCap = 8)),
     // multimodal: phash near-dup with a synthetic-phash oracle twin
     "img_phash_neardup" -> (ImageOps.imgPhashNearDup _),
     // multimodal: real RIFF/WAVE parse + frame-container sampling,
@@ -92,6 +97,7 @@ object SparkEntry {
     "embed_neardup_brute" -> V.embedNearDupBruteSql,
     "embed_ann_lsh" -> V.embedAnnLshSql,
     "embed_ann_ivf" -> V.embedAnnIvfSql,
+    "embed_ann_ivf_2l" -> V.embedAnnIvfSqlFor(8),
     "img_phash_neardup" -> ImageOps.imgPhashNearDupSql,
     "audio_features" -> M.audioFeaturesSql,
     "video_frames" -> M.videoFramesSql,

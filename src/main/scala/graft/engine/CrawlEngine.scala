@@ -666,13 +666,14 @@ object CrawlEngine {
     //    marks seen (fetched ok / exhausted / blocked) or re-adds (retry /
     //    rate-limit / host-deferral) was a live member at round start, so
     //    round-local exclusion is fully covered and no join is needed.
-    // Both key sidecars are TIERED-folded every round ([[tieredFold]]): the
-    // probe is ≤ 2 binary searches (base run + small L1 run), plus ≤ 1
-    // folded tombstone run for the member probe — tombstones that landed on
-    // BASE versions between merges are only purged at the next merge, so
-    // the probe must consult the tombstone fold to kill them (L1 versions
-    // have theirs dropped at fold time). frontierRemDirs also filters the
-    // parquet add log in readFrontier; it resets at major compaction.
+    // All three sidecars are TIERED-folded every round ([[tieredFold]]):
+    // the probe is ≤ 2 binary searches (base run + small L1 run), plus ≤ 2
+    // tiered tombstone runs for the member probe — tombstones that landed
+    // on BASE versions between merges are only purged at the next merge,
+    // so the probe must consult the tombstone sidecar to kill them (L1
+    // versions have theirs dropped at fold time). frontierRemDirs also
+    // filters the parquet add log in readFrontier; it resets at major
+    // compaction.
     require(m.seenKeyDirs.size <= 2 &&
         m.frontierKeyDirs.nonEmpty && m.frontierKeyDirs.size <= 2,
       s"key sidecars must be tiered-folded (seen=${m.seenKeyDirs.size} " +
@@ -805,18 +806,22 @@ object CrawlEngine {
     })
     val removalsF = Future(ph("writeFrontierTombstones")(
       KeyLog.write(removals, remDir, cfg.numBuckets)))
-    // frontier sidecar maintenance, tiered: (1) the round's tombstones fold
-    // with the accumulated tombstone run into ONE run — readFrontier and
-    // the member probe then touch ≤ 1 tombstone dir (the adds×rems search
-    // the r3 verdict flagged), and it resets at major compaction; (2) the
-    // add delta tiered-folds into the key sidecar (small L1 per round,
-    // base merge at the byte threshold), with this round's tombstones as
-    // drops — a size optimization: versions the drops miss (they live in
-    // the BASE run until a merge) are killed by the probe's tombstone-run
-    // check, never returned as members.
+    // frontier sidecar maintenance, tiered on BOTH sidecars: (1) the
+    // round's tombstones tiered-fold into the tombstone sidecar (small L1
+    // per round, base merge at the byte threshold) — a removal-heavy drain
+    // phase (large backlog scheduled, no fresh discoveries: rm > 0, a = 0
+    // every round, so add-dir-count compaction never fires) would otherwise
+    // rewrite the ever-growing accumulated run EVERY round, O(backlog²)
+    // bytes over the drain; readFrontier and the member probe touch ≤ 2
+    // tombstone runs, and the sidecar resets at major compaction; (2) the
+    // add delta tiered-folds into the key sidecar likewise, with the
+    // tombstone runs as drops — a size optimization: versions the drops
+    // miss (they live in the BASE run until a merge) are killed by the
+    // probe's tombstone-run check, never returned as members.
     val frontierKeyDir = s"$outDir/frontier_keys/r$r"
     val frontierKeyL1Dir = s"$outDir/frontier_keys/l1-r$r"
     val remFoldDir = s"$outDir/frontier_rem/f$r"
+    val remFoldL1Dir = s"$outDir/frontier_rem/l1-r$r"
     val foldF = addsF.zip(removalsF).map { case (a, rm) =>
       // same skip as the seen fold: a compacting round writes compact key
       // runs from the compacted frontier, so the per-round fold would be
@@ -827,15 +832,20 @@ object CrawlEngine {
       var keyDirs = m.frontierKeyDirs
       var remDirs = if (rm > 0) m.frontierRemDirs :+ remDir else m.frontierRemDirs
       if (!willCompact) {
-        // tombstone fold first (the add merge may take it as drops). Also
-        // self-heals a resumed multi-raw-run layout down to one run.
-        if (remDirs.size > 1) {
-          ph("foldFrontierRems")(KeyLog.fold(spark, None, remDirs, Nil,
-            remFoldDir, cfg.numBuckets, keepMaxAuxPerHash = false))
-          remDirs = Vector(remFoldDir)
+        // tombstone fold first (the add merge takes the result as drops).
+        if (rm > 0 || m.frontierRemDirs.size > 2) ph("foldFrontierRems") {
+          remDirs =
+            if (m.frontierRemDirs.size > 2)
+              // legacy self-heal: a resumed multi-raw-run layout collapses
+              // to one base run (tieredFold only tracks [base, l1])
+              tieredFold(spark, Vector.empty, remDirs, Nil,
+                remFoldDir, remFoldL1Dir, cfg, keepMaxAuxPerHash = false)
+            else
+              tieredFold(spark, m.frontierRemDirs, Seq(remDir),
+                Nil, remFoldDir, remFoldL1Dir, cfg, keepMaxAuxPerHash = false)
         }
         if (a > 0) ph("foldFrontierKeys") {
-          // drops = the FULL accumulated tombstone run, so a base merge
+          // drops = the FULL accumulated tombstone sidecar, so a base merge
           // purges every dead version written since the last compaction
           keyDirs = tieredFold(spark, m.frontierKeyDirs, Seq(addKeyDir),
             remDirs, frontierKeyDir, frontierKeyL1Dir, cfg,

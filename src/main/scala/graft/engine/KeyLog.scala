@@ -266,10 +266,22 @@ object KeyLog {
   * a committed run file (runs are write-once; new rounds write new dirs).
   * Bounded [[LruCache]]: overflow evicts only the least-recently-probed
   * entries instead of stampeding every thread into a full re-read.
+  *
+  * Capacity: a probe touches up to 5 (dir, bucket) keys per row (seen
+  * base + L1, frontier base + L1, tombstone runs), so the hot working set
+  * is ~5 × the buckets THIS executor's partitions probe. The default
+  * covers 5 dirs × 4096 buckets — the single-JVM local[‖] worst case
+  * (a multi-executor cluster routes each bucket's probes to one executor,
+  * so per-executor working sets are ~buckets/executors × 5). Tune with
+  * GRAFT_KEYLOG_CACHE_ENTRIES when bucket counts or memory differ; at the
+  * 10^10 design point the binding limit is run BYTES (~30 MB/bucket), not
+  * entry count — size buckets-per-executor to fit, as model.scala's scale
+  * notes already require.
   */
 object KeyLogCache {
   @transient private lazy val cache =
-    new LruCache[(String, Int), Option[(Array[Long], Array[Int])]](4096)
+    new LruCache[(String, Int), Option[(Array[Long], Array[Int])]](
+      sys.env.getOrElse("GRAFT_KEYLOG_CACHE_ENTRIES", "20480").toInt)
 
   def get(dir: String, bucket: Int): Option[(Array[Long], Array[Int])] =
     cache.get((dir, bucket)) { case (d, b) =>

@@ -141,13 +141,21 @@ object ImageOps {
     // emit each candidate pair once per hash value with conflicting hamming,
     // breaking (img_a, img_b) as a key. Candidates and verify must see the
     // same functional id → ph mapping.
-    // persisted: three consumers (candidate generation + both verify joins)
-    // would otherwise each recompute the groupBy shuffle. Left cached for
-    // the query's lifetime — the block manager LRU-evicts it (id + hash
-    // rows, ~16 B each, negligible next to the payloads upstream).
+    // materialized ONCE (three consumers: candidate generation + both
+    // verify joins would each recompute the groupBy otherwise). Local
+    // checkpoint, not persist(): a persist entry lives in the session's
+    // CacheManager until an explicit unpersist — which a query-builder
+    // returning a lazy DataFrame has no safe place to call — so repeated
+    // invocations in a long-lived session would accumulate cached copies
+    // forever. A localCheckpoint's blocks are reclaimed by the
+    // ContextCleaner once the RDD is unreferenced (post-GC), bounding the
+    // leak at one query's working set (id + hash rows, ~16 B each). Trade:
+    // lineage is truncated, so losing an executor mid-query fails the
+    // query instead of recomputing — acceptable for a deterministic
+    // re-runnable batch operator.
     val hashes = df.groupBy(col(idCol).as("id"))
       .agg(max(col(phashCol)).as("ph"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     phashCandidates(hashes, "id", "ph", bucketCap)
       .join(hashes.select($"id".as("img_a"), $"ph".as("pa")), Seq("img_a"))
       .join(hashes.select($"id".as("img_b"), $"ph".as("pb")), Seq("img_b"))

@@ -422,7 +422,18 @@ object VectorOps {
       .agg(
         array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents0"),
         array_sort(collect_list(when(col("isSup"),
-          struct(col("cid").as("sid"), col("cv").as("sv"))))).as("supers"))
+          struct(col("cid").as("sid"), col("cv").as("sv"))))).as("supers0"))
+      // EMPTY-SAMPLE GUARD: ids are not assumed dense, so a stride can
+      // resonate with the multiplicative hash and leave the coarser step2
+      // sub-sample EMPTY — argmax over zero supers would then NULL every
+      // assignment and the query would return zero rows with no error (and
+      // the twin would degenerate identically, so the oracle could not
+      // catch it). Fall back to supers = cents: single-level assignment
+      // cost, never silent emptiness. The SQL twin applies the same rule.
+      .select(expr(
+        "CASE WHEN size(supers0) = 0 THEN transform(cents0, " +
+          "c -> named_struct('sid', c.cid, 'sv', c.cv)) ELSE supers0 END")
+        .as("supers"), col("cents0"))
       .select(expr(
         "transform(cents0, c -> named_struct('cid', c.cid, 'cv', c.cv, " +
           s"'sid', -(array_max(transform(supers, s -> named_struct('s', ${cosineStr("c.cv", "s.sv")}, 'c', -s.sid))).c)))")
@@ -503,8 +514,11 @@ object VectorOps {
        |pars2 AS (SELECT k, step, step * GREATEST(1, k // k1) AS step2 FROM pars),
        |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, pars2
        |  WHERE ($ivfHashDuck) % step = 0),
-       |sup AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings, pars2
+       |sup0 AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings, pars2
        |  WHERE ($ivfHashDuck) % step2 = 0),
+       |sup AS (SELECT sid, sv FROM sup0 UNION ALL
+       |  SELECT cid AS sid, cv AS sv FROM cent
+       |  WHERE NOT EXISTS (SELECT 1 FROM sup0)),
        |centmap AS (SELECT cid, sid FROM (
        |  SELECT c.cid, s.sid,
        |    row_number() OVER (PARTITION BY c.cid ORDER BY ${cosineSql("cv", "sv")} DESC, s.sid) AS rn

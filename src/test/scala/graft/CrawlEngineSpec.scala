@@ -407,7 +407,8 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(baseKeyBytes > 400 * 1000, s"init key run unexpectedly small: $baseKeyBytes")
     (1 to 3).foreach { r =>
       val roundBytes = dirBytes(s"$out/frontier/a$r") +
-        dirBytes(s"$out/frontier_rem/f$r") + dirBytes(s"$out/frontier_rem/r$r")
+        dirBytes(s"$out/frontier_rem/f$r") + dirBytes(s"$out/frontier_rem/r$r") +
+        dirBytes(s"$out/frontier_rem/l1-r$r")
       assert(roundBytes < initBytes / 50,
         s"round $r wrote $roundBytes frontier bytes vs $initBytes init — " +
           "O(frontier) write amplification")
@@ -421,7 +422,7 @@ class CrawlEngineSpec extends AnyFunSuite {
           "not o(key-state)")
     }
     // steady-state probe shape: ≤ 2 key runs per sidecar (base + L1), the
-    // base still the untouched init run, and ≤ 1 folded tombstone run
+    // base still the untouched init run, and ≤ 2 tiered tombstone runs
     assert(res.manifest.frontierKeyDirs.nonEmpty &&
       res.manifest.frontierKeyDirs.size <= 2,
       s"frontier key runs not tiered-folded: ${res.manifest.frontierKeyDirs}")
@@ -429,8 +430,8 @@ class CrawlEngineSpec extends AnyFunSuite {
       s"base run was rewritten: ${res.manifest.frontierKeyDirs}")
     assert(res.manifest.seenKeyDirs.size <= 2,
       s"seen key runs not tiered-folded: ${res.manifest.seenKeyDirs}")
-    assert(res.manifest.frontierRemDirs.size <= 1,
-      s"tombstone runs not folded: ${res.manifest.frontierRemDirs}")
+    assert(res.manifest.frontierRemDirs.size <= 2,
+      s"tombstone runs not tiered-folded: ${res.manifest.frontierRemDirs}")
   }
 
   test("zero-scheduled round (every entry 429-deferred) does not crash") {

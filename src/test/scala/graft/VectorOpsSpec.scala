@@ -247,6 +247,55 @@ class VectorOpsSpec extends AnyFunSuite {
         s"ref-only=${(expected -- engine).take(5)}")
   }
 
+  test("two-level IVF: empty super-sample falls back to supers = cells " +
+    "(no silent empty result)") {
+    // ids are NOT assumed dense, and a stride can resonate with the
+    // multiplicative hash so that the coarser step2 sub-sample is EMPTY
+    // while the cell sample is healthy. Without the fallback, argmax over
+    // zero supers NULLs every assignment and the query returns ZERO rows
+    // with no error — and the SQL twin degenerates identically, so the
+    // oracle hash-match could never catch it. Construction: n=40 ids from
+    // 0..49 with h%20==0 holders {0,12,24} excluded → cells = {26,38}
+    // (h%10==0) and supers = ∅ (h%20==0). With nprobe=4 ≥ K=2 every cell
+    // is probed, so the correct fallback result is EXACT top-3 KNN over
+    // the 40 vectors — an independent reference needing no IVF code.
+    import spark.implicits._
+    val kCap = 4
+    def ivfHash(id: Long): Long =
+      ((id % 1048576) * 2654435761L + (id / 1048576) * 2246822519L) % 4294967296L
+    val ids = (0L until 50L).filter(id => ivfHash(id) % 20 != 0).take(40).toVector
+    assert(ids.size == 40 && ids.count(id => ivfHash(id) % 10 == 0) == 2)
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy("vec_id").limit(40).collect().map(_.getSeq[Float](1).toArray)
+    val rows = ids.zip(embs)
+    val tdir = java.nio.file.Files.createTempDirectory("ivf-nosup").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tdir/embeddings.parquet")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.flatMap { case (q, qv) =>
+      rows.filter(_._1 != q).map { case (c, cv) => (-cos(qv, cv), c) }
+        .sorted.take(3).zipWithIndex
+        .map { case ((ns, c), i) => (q, c, -ns, i + 1) }
+    }.toSet
+    val engine = VectorOps.embedAnnIvf(spark, tdir, kCap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(engine.nonEmpty, "empty super sample silently emptied the result")
+    assert(engine == expected,
+      s"fallback mismatch: engine-only=${(engine -- expected).take(5)} " +
+        s"ref-only=${(expected -- engine).take(5)}")
+    graft.engine.Fs.delete(tdir)
+  }
+
   test("embed_ann_ivf on a tiny table (n < 16): degenerate quantizer still " +
     "answers, matching the SQL twin's domain") {
     // the step = max(1, n/k) clamp must make ANY n a valid quantizer — the
