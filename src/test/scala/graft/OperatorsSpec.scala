@@ -112,16 +112,20 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("plan shape: IVF assignment is a 1-row broadcast, candidates an equi-join") {
-    val plan = graft.operators.VectorOps.embedAnnIvf(spark, dir)
-      .queryExecution.executedPlan.toString
-    // the ONLY nested-loop join allowed is the broadcast of the single
-    // centroid-array row (assignment fold input); vector-vs-vector work must
-    // never be a cross join
-    assert(!plan.contains("CartesianProduct"),
-      s"embed_ann_ivf plan contains a cartesian product:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
-      plan.contains("ShuffledHashJoin"),
-      s"embed_ann_ivf candidate stage is not an equi-join:\n$plan")
+    // both quantizer regimes: flat (default cap) and ACTIVE two-level
+    // (kCap=8 at this corpus, the embed_ann_ivf_2l driver query). The ONLY
+    // nested-loop join allowed is the broadcast of the single centroid-array
+    // row (assignment fold input); vector-vs-vector work must never be a
+    // cross join in either regime.
+    for (kCap <- Seq(graft.operators.VectorOps.IvfKCap, 8)) {
+      val plan = graft.operators.VectorOps.embedAnnIvf(spark, dir, kCap)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"embed_ann_ivf (kCap=$kCap) plan contains a cartesian product:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"embed_ann_ivf (kCap=$kCap) candidate stage is not an equi-join:\n$plan")
+    }
   }
 
   test("plan shape: q_recent date_sub bound is pushed into the scan") {
