@@ -52,8 +52,15 @@ object SparkEntry {
     // the SAME operator pinned to a small centroid cap so the TWO-LEVEL
     // coarse-quantizer branch (active at K = cap, i.e. N >= 4·cap² — far
     // beyond any test corpus at the default 4096) runs under the driver's
-    // DuckDB gate every round, twin included
-    "embed_ann_ivf_2l" -> ((s, d) => V.embedAnnIvf(s, d, kCap = 8)),
+    // DuckDB gate every round, twin included. kCap = 10, NOT 8: at the
+    // verify corpus's n = 500 the cap-8 stride (step 62) resonates with
+    // the multiplicative hash down to ONE cell / ONE super — a vacuous
+    // gate (every pair a candidate ⇒ brute-force top-k that any broken
+    // two-level assignment still reproduces). Cap 10 (step 50) yields
+    // 15 cells / 5 supers, so the super→cell domain filter actually
+    // prunes and the gate bites (VectorOpsSpec picks 10 for the same
+    // reason).
+    "embed_ann_ivf_2l" -> ((s, d) => V.embedAnnIvf(s, d, kCap = 10)),
     // multimodal: phash near-dup with a synthetic-phash oracle twin
     "img_phash_neardup" -> (ImageOps.imgPhashNearDup _),
     // multimodal: real RIFF/WAVE parse + frame-container sampling,
@@ -97,7 +104,7 @@ object SparkEntry {
     "embed_neardup_brute" -> V.embedNearDupBruteSql,
     "embed_ann_lsh" -> V.embedAnnLshSql,
     "embed_ann_ivf" -> V.embedAnnIvfSql,
-    "embed_ann_ivf_2l" -> V.embedAnnIvfSqlFor(8),
+    "embed_ann_ivf_2l" -> V.embedAnnIvfSqlFor(10),
     "img_phash_neardup" -> ImageOps.imgPhashNearDupSql,
     "audio_features" -> M.audioFeaturesSql,
     "video_frames" -> M.videoFramesSql,

@@ -319,7 +319,7 @@ object CrawlEngine {
       Vector(fDir), Vector(fkDir), Vector.empty,
       Vector.empty, Vector.empty, Vector.empty,
       Vector.empty, Vector.empty, bloomDir, fCount, 0L, 0L,
-      done = fCount == 0)
+      done = fCount == 0, buckets = cfg.numBuckets)
     Snapshot.commit(outDir, m0)
     loop(spark, spec, cfg, outDir, m0)
   }
@@ -366,6 +366,14 @@ object CrawlEngine {
       s"numBuckets=$numBuckets but the layout has run files up to " +
         s"bucket $maxBucket — migrating would silently drop buckets >= " +
         s"$numBuckets; pass the crawl's original numBuckets")
+    // the too-LARGE direction is just as corrupting (probes re-bucket with
+    // pmod(hash, numBuckets) and miss every stored key) but can't be
+    // derived from run files (trailing buckets may be legitimately empty),
+    // so it's validated against the recorded value when one exists
+    require(m.buckets == 0 || m.buckets == numBuckets,
+      s"numBuckets=$numBuckets but the crawl was committed with " +
+        s"numBuckets=${m.buckets} — probes would re-bucket and miss " +
+        "every stored key; pass the crawl's original numBuckets")
     val seenKeyDirs =
       if (m.seenKeyDirs.size <= 1) m.seenKeyDirs
       else {
@@ -389,7 +397,7 @@ object CrawlEngine {
         Vector(d)
       }
     val migrated = m.copy(snapshotId = m.snapshotId + 1,
-      parentId = m.snapshotId, fmt = Snapshot.Fmt,
+      parentId = m.snapshotId, fmt = Snapshot.Fmt, buckets = numBuckets,
       seenKeyDirs = seenKeyDirs, frontierKeyDirs = frontierKeyDirs)
     Snapshot.commit(outDir, migrated)
     migrated
@@ -409,6 +417,15 @@ object CrawlEngine {
     require(m.fmt >= Snapshot.Fmt,
       s"$outDir was committed by a pre-fold build (manifest fmt=${m.fmt}); " +
         "run CrawlEngine.migrateKeySidecars once before resuming")
+    // bucket-count parity: every sidecar probe computes hostBucket =
+    // pmod(hash, cfg.numBuckets), so resuming with a different value than
+    // the one the runs were written with silently misses every membership
+    // probe (refetch storm + frontier duplicates). 0 = pre-buckets manifest
+    // (unknown); the next commit stamps the current value.
+    require(m.buckets == 0 || m.buckets == cfg.numBuckets,
+      s"$outDir was committed with numBuckets=${m.buckets} but " +
+        s"cfg.numBuckets=${cfg.numBuckets} — membership probes would " +
+        "re-bucket and miss every stored key")
     loop(spark, spec, cfg, outDir, m)
   }
 
@@ -1003,7 +1020,8 @@ object CrawlEngine {
       frontierCount = newFrontierCount,
       seenCount = newSeenCount,
       fetchedCount = m.fetchedCount + fetchedOkCount,
-      done = totalScheduled >= cfg.maxResults || newFrontierCount == 0L)
+      done = totalScheduled >= cfg.maxResults || newFrontierCount == 0L,
+      buckets = cfg.numBuckets)
   }
 
   private def emptyFrontier(spark: SparkSession): DataFrame =

@@ -46,6 +46,13 @@ object Snapshot {
     *                    indistinguishable from fmt-2 when it has one key dir
     *                    plus live tombstones, so the version — not the dir
     *                    count — is what resume validates
+    * @param buckets     numBuckets the key sidecars + bloom were written
+    *                    with. Probes compute hostBucket = pmod(hash, buckets),
+    *                    so resuming with a DIFFERENT cfg.numBuckets silently
+    *                    misses every membership probe (refetch storm, frontier
+    *                    duplicates) — resume fails loudly on mismatch instead.
+    *                    0 = written by a pre-buckets build (unknown; resume
+    *                    accepts and the next commit stamps it)
     */
   case class Manifest(
       snapshotId: Int,
@@ -65,7 +72,8 @@ object Snapshot {
       seenCount: Long,
       fetchedCount: Long,
       done: Boolean,
-      fmt: Int = Snapshot.Fmt)
+      fmt: Int = Snapshot.Fmt,
+      buckets: Int = 0)
 
   /** Current manifest layout format (see [[Manifest.fmt]]). */
   val Fmt = 2
@@ -138,7 +146,7 @@ object Snapshot {
        |"scheduleDirs":${arr(m.scheduleDirs)},"metricsDirs":${arr(m.metricsDirs)},
        |"bloomDir":${q(m.bloomDir)},"frontierCount":${m.frontierCount},
        |"seenCount":${m.seenCount},"fetchedCount":${m.fetchedCount},
-       |"done":${m.done},"fmt":${m.fmt}}"""
+       |"done":${m.done},"fmt":${m.fmt},"buckets":${m.buckets}}"""
       .stripMargin.replace("\n", "")
 
   def fromJson(json: String): Manifest = {
@@ -172,6 +180,9 @@ object Snapshot {
       num("fetchedCount"), bool("done"),
       // absent in manifests written by pre-fold builds
       fmt = "\"fmt\":(-?\\d+)".r.findFirstMatchIn(json)
-        .map(_.group(1).toInt).getOrElse(1))
+        .map(_.group(1).toInt).getOrElse(1),
+      // absent in manifests written by pre-buckets builds (0 = unknown)
+      buckets = "\"buckets\":(-?\\d+)".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(0))
   }
 }

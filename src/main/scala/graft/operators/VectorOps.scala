@@ -400,9 +400,21 @@ object VectorOps {
     // GREATEST(1, count // k): the operator and its oracle must share a
     // domain, not just agree where both happen to run
     val step = math.max(1L, n / ivfK(n, kCap))
-    e.where(expr(ivfHashSpark) % step === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    // EMPTY-SAMPLE GUARD (base level — mirrors ivfCentsRow2's super-level
+    // guard): ids are not assumed dense, so a stride can resonate with the
+    // multiplicative hash and sample ZERO centroids — argmax over zero
+    // cells would NULL every assignment and the query would silently
+    // return zero rows, with the SQL twin degenerating identically (the
+    // oracle could not catch it). Fall back to the min-vec_id row as the
+    // single centroid — same conditional-collect scan, no extra job.
+    e.agg(
+        array_sort(collect_list(when(expr(ivfHashSpark) % step === 0,
+          struct(col("vec_id").as("cid"), col("embedding").as("cv")))))
+          .as("cents0"),
+        min_by(struct(col("vec_id").as("cid"), col("embedding").as("cv")),
+          col("vec_id")).as("fb"))
+      .select(expr("CASE WHEN size(cents0) = 0 THEN array(fb) " +
+        "ELSE cents0 END").as("cents"))
   }
 
   /** Two-level variant of [[ivfCentsRow]] (active at K = kCap): ONE
@@ -416,20 +428,27 @@ object VectorOps {
     val k = ivfK(n, kCap)
     val step = math.max(1L, n / k)
     val step2 = step * math.max(1L, k.toLong / ivfK1(k))
-    e.where(expr(ivfHashSpark) % step === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        (expr(ivfHashSpark) % step2 === 0).as("isSup"))
-      .agg(
-        array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents0"),
-        array_sort(collect_list(when(col("isSup"),
-          struct(col("cid").as("sid"), col("cv").as("sv"))))).as("supers0"))
-      // EMPTY-SAMPLE GUARD: ids are not assumed dense, so a stride can
-      // resonate with the multiplicative hash and leave the coarser step2
-      // sub-sample EMPTY — argmax over zero supers would then NULL every
-      // assignment and the query would return zero rows with no error (and
-      // the twin would degenerate identically, so the oracle could not
-      // catch it). Fall back to supers = cents: single-level assignment
-      // cost, never silent emptiness. The SQL twin applies the same rule.
+    // EMPTY-SAMPLE GUARD at BOTH levels: ids are not assumed dense, so a
+    // stride can resonate with the multiplicative hash and sample zero
+    // rows — argmax over zero cells/supers would then NULL every
+    // assignment and the query would return zero rows with no error (and
+    // the twin would degenerate identically, so the oracle could not
+    // catch it). Base level falls back to the min-vec_id row as the single
+    // centroid; super level falls back to supers = cents (single-level
+    // assignment cost, never silent emptiness) — step | step2 means an
+    // empty cell sample forces an empty super sample, so the fallbacks
+    // compose. The SQL twin applies the same rules.
+    e.agg(
+        array_sort(collect_list(when(expr(ivfHashSpark) % step === 0,
+          struct(col("vec_id").as("cid"), col("embedding").as("cv")))))
+          .as("cents00"),
+        array_sort(collect_list(when(expr(ivfHashSpark) % step2 === 0,
+          struct(col("vec_id").as("sid"), col("embedding").as("sv")))))
+          .as("supers0"),
+        min_by(struct(col("vec_id").as("cid"), col("embedding").as("cv")),
+          col("vec_id")).as("fb"))
+      .select(expr("CASE WHEN size(cents00) = 0 THEN array(fb) " +
+        "ELSE cents00 END").as("cents0"), col("supers0"))
       .select(expr(
         "CASE WHEN size(supers0) = 0 THEN transform(cents0, " +
           "c -> named_struct('sid', c.cid, 'sv', c.cv)) ELSE supers0 END")
@@ -512,8 +531,12 @@ object VectorOps {
        |  FROM (SELECT LEAST($kCap, GREATEST(4, CAST(FLOOR(SQRT(count(*)/4.0)) AS INT))) AS k,
        |        count(*) AS n FROM embeddings)),
        |pars2 AS (SELECT k, step, step * GREATEST(1, k // k1) AS step2 FROM pars),
-       |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, pars2
+       |cent0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, pars2
        |  WHERE ($ivfHashDuck) % step = 0),
+       |cent AS (SELECT cid, cv FROM cent0 UNION ALL
+       |  SELECT cid, cv FROM (SELECT vec_id AS cid, embedding AS cv
+       |    FROM embeddings ORDER BY vec_id LIMIT 1)
+       |  WHERE NOT EXISTS (SELECT 1 FROM cent0)),
        |sup0 AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings, pars2
        |  WHERE ($ivfHashDuck) % step2 = 0),
        |sup AS (SELECT sid, sv FROM sup0 UNION ALL

@@ -30,6 +30,13 @@ class ConfigSpec extends AnyFunSuite {
     bad(CrawlConfig(bloomFpp = 0.0))
     bad(CrawlConfig(bloomFpp = 7.0))
     bad(CrawlConfig(ttlRounds = -1))
+    // compactEvery = 1 would fire major compaction EVERY round (the very
+    // rewrite cadence the tiered fold exists to avoid) and orphan the
+    // fold-skip logic; l1MergeDenom = 0 divides the merge threshold away
+    bad(CrawlConfig(compactEvery = 1))
+    bad(CrawlConfig(compactEvery = 0))
+    bad(CrawlConfig(l1MergeDenom = 0))
+    bad(CrawlConfig(l1MergeDenom = -3))
   }
 
   test("boundary values that are legal stay legal") {
@@ -37,5 +44,7 @@ class ConfigSpec extends AnyFunSuite {
     CrawlConfig(gamma = 1.0) // undamped OPIC
     CrawlConfig(ttlRounds = 0) // seen-forever
     CrawlConfig(bloomExpectedItems = 0) // auto-size
+    CrawlConfig(compactEvery = 2) // most aggressive legal compaction
+    CrawlConfig(l1MergeDenom = 1) // merge whenever L1 >= base
   }
 }

@@ -114,6 +114,23 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(resB.manifest.totalScheduled == resA.manifest.totalScheduled)
   }
 
+  test("resume rejects a mismatched numBuckets before any round runs") {
+    val spec = CorpusSpec(numHosts = 3, pagesPerHost = 10)
+    val cfg = CrawlConfig(maxResults = 40, maxRounds = 2, numBuckets = 8)
+    val dir = tmpDir()
+    CrawlEngine.run(spark, spec, spec.defaultSeeds(1), cfg, dir)
+    // probes would compute pmod(hash, 4) against runs bucketed by
+    // pmod(hash, 8) and miss every stored key — resume must fail loudly
+    // at entry instead of silently refetching the whole seen set
+    val e = intercept[IllegalArgumentException] {
+      CrawlEngine.resume(spark, spec, cfg.copy(numBuckets = 4), dir)
+    }
+    assert(e.getMessage.contains("numBuckets"))
+    // the recorded value still resumes
+    val res = CrawlEngine.resume(spark, spec, cfg, dir)
+    assert(res.manifest.buckets == 8)
+  }
+
   test("time-travel: an older snapshot is a prefix of the final state") {
     val spec = CorpusSpec(numHosts = 5, pagesPerHost = 30)
     val cfg = CrawlConfig(maxResults = 100, maxRounds = 12, numBuckets = 8)
