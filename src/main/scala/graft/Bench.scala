@@ -298,6 +298,14 @@ object Bench {
     results("query_block_raw_ceiling_post") = rawFetchFor(cpus, 8.0, probeSpec)
     spark.stop()
 
+    // re-arm the calm-box gate before the crawl block: the query block
+    // itself drains a burstable box's CPU budget (measured: the pass-1
+    // 16c/32c crawls right after it ran at 0.57/0.32 of the adjacent hw
+    // ceiling, recovering to 0.69–0.74 by pass 2) — a shorter second wait
+    // lets the budget refill before the first MEASURED crawl level
+    results("idle_waited_secs_crawl") =
+      if (idleCap > 0) awaitCalmBox(math.min(idleCap, 300)) else 0.0
+
     // ---- crawl throughput: warmup, then measure N vs 4N vs peak ----
     val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "3").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
