@@ -335,7 +335,7 @@ object Bench {
       def cpuOverheadVsRaw: Double = cpuMsPerUrl / rawCpuMsPerUrl
     }
     val runs = scala.collection.mutable.Map.empty[Int, List[Run]].withDefaultValue(Nil)
-    for (pass <- 1 to passes; c <- levels) {
+    def crawlPass(pass: Int): Unit = for (c <- levels) {
       val s0 = cpuStat()
       val (n, wall, cpu) = crawlRound(c, scale)
       val steal = stealPct(s0, cpuStat())
@@ -349,8 +349,34 @@ object Bench {
           f"steal $steal%.1f%%")
       runs(c) = r :: runs(c)
     }
+    (1 to passes).foreach(crawlPass)
     def best(c: Int): Run = runs(c).minBy(_.wall)
     def med(c: Int)(f: Run => Double): Double = median(runs(c).map(f))
+
+    // steal-adaptive extra passes: a co-tenant burst DURING a measured
+    // window poisons a 3-pass median even though the steal% column
+    // attributes it (observed: steal medians 0.7/3.9/4.3% at 4/16/32c
+    // dragged the wide levels to 0.36/0.34 of the adjacent hw ceiling
+    // while the cpu-overhead ratios stayed flat). When any level's MEDIAN
+    // steal shows contamination, run up to SPARK_GRAFT_BENCH_EXTRA_PASSES
+    // (default 2) additional full passes, each idle-gated like the first.
+    // Rows are NEVER discarded — every pass stays in the medians and the
+    // per-pass log, so the extra data can only make the medians more
+    // representative, and the pass count is reported (crawl_extra_passes).
+    val extraCap =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_PASSES", "2").toInt
+    val stealMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_MAX", "2.0").toDouble
+    var totalPasses = passes
+    while (totalPasses < passes + extraCap &&
+        levels.exists(c => med(c)(_.steal) > stealMax)) {
+      totalPasses += 1
+      System.err.println(
+        s"[bench] steal-contaminated medians -> extra pass $totalPasses")
+      if (idleCap > 0) awaitCalmBox(math.min(idleCap, 300)): Unit
+      crawlPass(totalPasses)
+    }
+    results("crawl_extra_passes") = (totalPasses - passes).toDouble
 
     for (c <- levels) {
       val b = best(c)
@@ -371,7 +397,7 @@ object Bench {
     // throttle-robust evidence 1: engine/hw at 16c over engine/hw at 4c,
     // PAIRED WITHIN ONE PASS (ratios from the same box state), UNCLAMPED
     // median across passes — plus best, labeled as such
-    val pairEff = (1 to passes).flatMap { p =>
+    val pairEff = (1 to totalPasses).flatMap { p =>
       for {
         a <- runs(4).find(_.pass == p)
         b <- runs(16).find(_.pass == p)
@@ -403,7 +429,8 @@ object Bench {
         !k.contains("urls_per_sec") && !k.startsWith("scaling") &&
         !k.contains("eff_vs") && !k.startsWith("cpu_ms") &&
         !k.contains("steal") && !k.startsWith("cpu_overhead") &&
-        !k.contains("raw_ceiling") && !k.startsWith("idle_") => v
+        !k.contains("raw_ceiling") && !k.startsWith("idle_") &&
+        !k.contains("extra_passes") => v
     }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
