@@ -216,8 +216,10 @@ object Bench {
     var calm = 0
     var last = cpuSample()
     if (last == ((0L, 0L, 0L))) return 0.0 // no /proc/stat — nothing to watch
+    // only start a window that FITS under the cap: checking the deadline
+    // before the sleep alone overshoots maxWaitSecs by up to windowSecs
     while (calm < consecutive &&
-        (System.nanoTime() - t0) / 1e9 < maxWaitSecs) {
+        (System.nanoTime() - t0) / 1e9 + windowSecs <= maxWaitSecs) {
       Thread.sleep(windowSecs * 1000L)
       val now = cpuSample()
       val dTotal = now._3 - last._3

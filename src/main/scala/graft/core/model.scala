@@ -169,6 +169,14 @@ case class HostPolicy(
   *                     when L1 ≥ base/l1MergeDenom, so per-round sidecar
   *                     write amplification is O(state/l1MergeDenom), not
   *                     O(state), while probes touch ≤ 2 runs
+  * @param drainCompactMinDead floor on the majority-dead frontier
+  *                     compaction trigger (dead add-log rows > live AND
+  *                     ≥ this): a removal-only drain phase never grows the
+  *                     add-DIR count, so without the dead trigger the
+  *                     frontier scan re-reads the full dead add log every
+  *                     round; the floor keeps tiny dead sets (whose scan
+  *                     cost is trivial) from compacting every round.
+  *                     1 = fire on any majority-dead log
   */
 case class CrawlConfig(
     maxResults: Long = 1000L,
@@ -182,7 +190,8 @@ case class CrawlConfig(
     ttlRounds: Int = 0,
     paceWallClock: Boolean = false,
     compactEvery: Int = 16,
-    l1MergeDenom: Int = 8) {
+    l1MergeDenom: Int = 8,
+    drainCompactMinDead: Long = 4096L) {
   // fail at construction, not rounds later (ref error discipline:
   // medcrawler/config.py:55-68 __post_init__ raising on nonpositive
   // budgets/TTLs)
@@ -202,6 +211,8 @@ case class CrawlConfig(
     s"compactEvery must be >= 2, got $compactEvery")
   require(l1MergeDenom >= 1,
     s"l1MergeDenom must be >= 1, got $l1MergeDenom")
+  require(drainCompactMinDead >= 1,
+    s"drainCompactMinDead must be >= 1, got $drainCompactMinDead")
 }
 
 /** Per-(round, host) metrics row — the fetch/dedup/politeness-wait metrics

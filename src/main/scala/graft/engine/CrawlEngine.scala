@@ -827,10 +827,12 @@ object CrawlEngine {
     // round's tombstones tiered-fold into the tombstone sidecar (small L1
     // per round, base merge at the byte threshold) — a removal-heavy drain
     // phase (large backlog scheduled, no fresh discoveries: rm > 0, a = 0
-    // every round, so add-dir-count compaction never fires) would otherwise
-    // rewrite the ever-growing accumulated run EVERY round, O(backlog²)
-    // bytes over the drain; readFrontier and the member probe touch ≤ 2
-    // tombstone runs, and the sidecar resets at major compaction; (2) the
+    // every round, so the add-dir-COUNT trigger never fires; the
+    // majority-dead trigger bounds the drain at O(log) compactions) would
+    // otherwise rewrite the ever-growing accumulated run EVERY round,
+    // O(backlog²) bytes over the drain; readFrontier and the member probe
+    // touch ≤ 2 tombstone runs, and the sidecar resets at major
+    // compaction; (2) the
     // add delta tiered-folds into the key sidecar likewise, with the
     // tombstone runs as drops — a size optimization: versions the drops
     // miss (they live in the BASE run until a merge) are killed by the
@@ -844,8 +846,9 @@ object CrawlEngine {
       // runs from the compacted frontier, so the per-round fold would be
       // orphaned ([[frontierCompactionDue]] is the compaction branch's
       // predicate, on the same add-dir count)
-      val willCompact =
-        frontierCompactionDue(cfg, m.frontierAddDirs.size + (if (a > 0) 1 else 0))
+      val willCompact = frontierCompactionDue(cfg,
+        m.frontierAddDirs.size + (if (a > 0) 1 else 0),
+        m.frontierDeadCount + rm, m.frontierCount + a - rm)
       var keyDirs = m.frontierKeyDirs
       var remDirs = if (rm > 0) m.frontierRemDirs :+ remDir else m.frontierRemDirs
       if (!willCompact) {
@@ -979,8 +982,9 @@ object CrawlEngine {
     val grownAddDirs =
       if (addCount > 0) m.frontierAddDirs :+ addDir else m.frontierAddDirs
     val liveCount = m.frontierCount + addCount - remCount
-    val (newAddDirs, newKeyDirs, newRemDirs, newFrontierCount) =
-      if (frontierCompactionDue(cfg, grownAddDirs.size)) {
+    val (newAddDirs, newKeyDirs, newRemDirs, newFrontierCount, newDeadCount) =
+      if (frontierCompactionDue(cfg, grownAddDirs.size,
+          m.frontierDeadCount + remCount, liveCount)) {
         val compactDir = s"$outDir/frontier/compact-r$r"
         // foldF skipped every fold on a compacting round, so foldRemDirs is
         // the accumulated fold run plus this round's raw tombstone run —
@@ -999,8 +1003,9 @@ object CrawlEngine {
         // read above and no manifest ever references it — drop it
         if (remCount > 0) Fs.delete(remDir)
         (Vector(compactDir), Vector(compactKeyDir), Vector.empty[String],
-          parquetRowCount(spark, compactDir))
-      } else (grownAddDirs, foldKeyDirs, foldRemDirs, liveCount)
+          parquetRowCount(spark, compactDir), 0L)
+      } else (grownAddDirs, foldKeyDirs, foldRemDirs, liveCount,
+        m.frontierDeadCount + remCount)
 
     val totalScheduled = m.totalScheduled + schedCount
     Snapshot.Manifest(
@@ -1018,6 +1023,7 @@ object CrawlEngine {
       metricsDirs = m.metricsDirs :+ metricsDir,
       bloomDir = newBloomDir,
       frontierCount = newFrontierCount,
+      frontierDeadCount = newDeadCount,
       seenCount = newSeenCount,
       fetchedCount = m.fetchedCount + fetchedOkCount,
       done = totalScheduled >= cfg.maxResults || newFrontierCount == 0L,
@@ -1042,11 +1048,25 @@ object CrawlEngine {
 
   /** Frontier major compaction is due when the ADD-delta-dir count reaches
     * cfg.compactEvery (tombstone dirs no longer push the trigger: they stay
-    * folded to ≤ 1 run, so their read cost is flat between compactions).
-    * Shared by the fold-skip predicate and the compaction branch.
+    * folded to ≤ 1 run, so their read cost is flat between compactions) —
+    * OR when the add log is majority-dead. The dir-count trigger alone has
+    * a hole: a removal-only drain (large backlog scheduled down with no
+    * fresh discoveries — addCount = 0 every round) never grows the add-dir
+    * count, so the frontier scan would re-read the FULL dead add log every
+    * round for the entire drain. deadRows > liveRows caps that: each
+    * majority-dead compaction rewrites liveRows ≤ deadRows = tombstones
+    * accumulated since the last compaction, so total rewrite work over a
+    * crawl is ≤ 2× total tombstones — amortized O(1) per scheduled URL —
+    * while the scanned add log stays < 2× live (above the
+    * cfg.drainCompactMinDead floor: tiny dead sets scan for free and are
+    * not worth a rewrite). Both counts are manifest arithmetic (no footer
+    * read). Shared by the fold-skip predicate and the compaction branch,
+    * on the same inputs.
     */
-  private def frontierCompactionDue(cfg: CrawlConfig, addDirCount: Int): Boolean =
-    addDirCount >= cfg.compactEvery
+  private def frontierCompactionDue(cfg: CrawlConfig, addDirCount: Int,
+      deadRows: Long, liveRows: Long): Boolean =
+    addDirCount >= cfg.compactEvery ||
+      (deadRows > liveRows && deadRows >= cfg.drainCompactMinDead)
 
   /** Tiered (DRUM-style two-level) key-run fold — the per-round sidecar
     * maintenance that replaces r4's full-state rewrite (r4 verdict "What's

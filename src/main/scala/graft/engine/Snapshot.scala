@@ -37,6 +37,17 @@ object Snapshot {
     *                    per non-empty delta / compaction)
     * @param frontierCount LIVE frontier size (adds minus removals,
     *                    re-baselined exactly at compaction)
+    * @param frontierDeadCount tombstoned rows still physically present in
+    *                    the add log (every tombstone kills exactly one
+    *                    add-log row; compaction clears both, so this is
+    *                    Σ removals since the last frontier compaction).
+    *                    Pure arithmetic — no footer read. Drives the
+    *                    majority-dead compaction trigger
+    *                    ([[CrawlEngine.frontierCompactionDue]]): a
+    *                    removal-only drain never grows the add-DIR count,
+    *                    so without this the frontier scan would re-read
+    *                    the full dead add log every round for the whole
+    *                    drain. 0 when absent (pre-field manifests)
     * @param seenCount   cumulative seen-stamp count between compactions (a TTL
     *                    refetch re-stamps the same URL); re-baselined to the
     *                    exact distinct-key count at each compaction
@@ -73,7 +84,8 @@ object Snapshot {
       fetchedCount: Long,
       done: Boolean,
       fmt: Int = Snapshot.Fmt,
-      buckets: Int = 0)
+      buckets: Int = 0,
+      frontierDeadCount: Long = 0L)
 
   /** Current manifest layout format (see [[Manifest.fmt]]). */
   val Fmt = 2
@@ -145,6 +157,7 @@ object Snapshot {
        |"fetchedDirs":${arr(m.fetchedDirs)},
        |"scheduleDirs":${arr(m.scheduleDirs)},"metricsDirs":${arr(m.metricsDirs)},
        |"bloomDir":${q(m.bloomDir)},"frontierCount":${m.frontierCount},
+       |"frontierDeadCount":${m.frontierDeadCount},
        |"seenCount":${m.seenCount},"fetchedCount":${m.fetchedCount},
        |"done":${m.done},"fmt":${m.fmt},"buckets":${m.buckets}}"""
       .stripMargin.replace("\n", "")
@@ -183,6 +196,11 @@ object Snapshot {
         .map(_.group(1).toInt).getOrElse(1),
       // absent in manifests written by pre-buckets builds (0 = unknown)
       buckets = "\"buckets\":(-?\\d+)".r.findFirstMatchIn(json)
-        .map(_.group(1).toInt).getOrElse(0))
+        .map(_.group(1).toInt).getOrElse(0),
+      // absent in older manifests: 0 resets the majority-dead trigger on
+      // resume; at worst the first post-resume compaction waits for the
+      // add-dir count the way every pre-field build did
+      frontierDeadCount = "\"frontierDeadCount\":(-?\\d+)".r
+        .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L))
   }
 }

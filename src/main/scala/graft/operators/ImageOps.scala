@@ -149,13 +149,17 @@ object ImageOps {
     // invocations in a long-lived session would accumulate cached copies
     // forever. A localCheckpoint's blocks are reclaimed by the
     // ContextCleaner once the RDD is unreferenced (post-GC), bounding the
-    // leak at one query's working set (id + hash rows, ~16 B each). Trade:
-    // lineage is truncated, so losing an executor mid-query fails the
-    // query instead of recomputing — acceptable for a deterministic
-    // re-runnable batch operator.
+    // leak at one query's working set (id + hash rows, ~16 B each). LAZY
+    // (eager = false): this is a query BUILDER — an eager checkpoint would
+    // run a Spark job materializing the full groupBy at build time, on
+    // callers that only inspect the plan/schema or compose the result.
+    // The first action checkpoints; the plan's other consumers reuse the
+    // blocks. Trade: lineage is truncated, so losing an executor mid-query
+    // fails the query instead of recomputing — acceptable for a
+    // deterministic re-runnable batch operator.
     val hashes = df.groupBy(col(idCol).as("id"))
       .agg(max(col(phashCol)).as("ph"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     phashCandidates(hashes, "id", "ph", bucketCap)
       .join(hashes.select($"id".as("img_a"), $"ph".as("pa")), Seq("img_a"))
       .join(hashes.select($"id".as("img_b"), $"ph".as("pb")), Seq("img_b"))

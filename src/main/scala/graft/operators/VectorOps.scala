@@ -202,8 +202,12 @@ object VectorOps {
 
   val embedNearDupSql: String = {
     // B derives from count(*) INSIDE the SQL so the twin adapts with the
-    // engine (nearDupBits: ceil(log2(n/4)) clamped [4,16])
-    val bSub = "(SELECT LEAST(GREATEST(CAST(CEIL(LOG2(COUNT(*)/4.0)) AS INT),4),16) FROM embeddings)"
+    // engine (nearDupBits: ceil(log2(n/4)) clamped [4,16]). GREATEST(n,1)
+    // keeps the twin's domain matching the engine's: LOG2(0) is -inf and
+    // CAST(-inf AS INT) errors in DuckDB, while nearDupBits clamps n=0 to
+    // the same 4 bits GREATEST(1,·)/4 yields — operator and oracle must
+    // share a domain, not just agree where both happen to run
+    val bSub = "(SELECT LEAST(GREATEST(CAST(CEIL(LOG2(GREATEST(COUNT(*),1)/4.0)) AS INT),4),16) FROM embeddings)"
     val arms = (0 until NearDupTables).map { t =>
       val bucket = s"list_sum([CASE WHEN embedding[((${t * 19} + i*41) % 64) + 1] >= 0" +
         s" THEN 1<<i ELSE 0 END FOR i IN generate_series(0, $bSub - 1)])"
@@ -301,8 +305,10 @@ object VectorOps {
 
   val embedAnnLshSql: String = {
     // B is computed from count(*) INSIDE the SQL so the twin adapts with
-    // the engine (annBits: ceil(log2(n/16)) clamped [4,16])
-    val bSub = "(SELECT LEAST(GREATEST(CAST(CEIL(LOG2(COUNT(*)/16.0)) AS INT),4),16) FROM embeddings)"
+    // the engine (annBits: ceil(log2(n/16)) clamped [4,16]). GREATEST(n,1):
+    // LOG2(0) = -inf errors on the INT cast while annBits clamps n=0 to
+    // the same 4 bits — see embedNearDupSql
+    val bSub = "(SELECT LEAST(GREATEST(CAST(CEIL(LOG2(GREATEST(COUNT(*),1)/16.0)) AS INT),4),16) FROM embeddings)"
     val arms = (0 until AnnTables).map { t =>
       val bucket = s"list_sum([CASE WHEN embedding[((${t * 23} + i*37) % 64) + 1] >= 0" +
         s" THEN 1<<i ELSE 0 END FOR i IN generate_series(0, $bSub - 1)])"

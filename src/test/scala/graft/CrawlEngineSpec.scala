@@ -451,6 +451,51 @@ class CrawlEngineSpec extends AnyFunSuite {
       s"tombstone runs not tiered-folded: ${res.manifest.frontierRemDirs}")
   }
 
+  test("removal-only drain: majority-dead trigger compacts the add log") {
+    // seed the ENTIRE corpus upfront (allSeeds): no round discovers a new
+    // URL, yet the add log still churns — OPIC cash updates to live
+    // entries are written as add+tombstone PAIRS, so dead rows accrete
+    // every round while the add-DIR count stays far below compactEvery=64
+    // (the dir-count trigger is explicitly out of reach here). Without the
+    // majority-dead trigger the frontier scan would re-read the ever-more-
+    // dead add log every round for the whole drain; with it, every
+    // committed manifest keeps the add log majority-live (dead ≤ live, so
+    // scans read < 2× live rows) and the drain costs O(log) compactions,
+    // each rewriting live ≤ dead = tombstones-since-last — amortized O(1)
+    // per frontier write.
+    val spec = CorpusSpec(numHosts = 4, pagesPerHost = 30, failures = false,
+      imgBase = 8, imgVar = 2)
+    val cfg = CrawlConfig(maxResults = Long.MaxValue, maxRounds = 20,
+      numBuckets = 8, compactEvery = 64, drainCompactMinDead = 1L)
+    val out = tmpDir()
+    val oracle = RefOracle.crawl(spec, spec.allSeeds, cfg)
+    val res = CrawlEngine.run(spark, spec,
+      CrawlEngine.synthSeeds(spark, spec), cfg, out)
+    // compaction timing is a performance trigger, never a semantics change
+    assert(engineOrder(res) == oracle.order, "crawl order mismatch")
+    assert(engineSeen(res) == oracle.seen, "seen set mismatch")
+    assert(res.manifest.done && res.manifest.frontierCount == 0L,
+      s"backlog did not drain: live=${res.manifest.frontierCount}")
+
+    val manifests = (0 to res.manifest.snapshotId)
+      .map(graft.engine.Snapshot.read(out, _))
+    // the load-bearing invariant: no commit leaves the add log
+    // majority-dead, so the per-round frontier scan reads < 2× live rows
+    manifests.foreach { m =>
+      assert(m.frontierDeadCount <= math.max(m.frontierCount, 0L),
+        s"snapshot ${m.snapshotId} committed a majority-dead add log: " +
+          s"dead=${m.frontierDeadCount} live=${m.frontierCount}")
+    }
+    // the trigger actually fired — and more than once (the O(log) cadence):
+    // add dirs never number ≥ compactEvery here, so every compact dir is
+    // majority-dead-triggered
+    val compactDirs = manifests
+      .flatMap(_.frontierAddDirs).distinct.filter(_.contains("/compact-r"))
+    assert(compactDirs.size >= 2,
+      s"majority-dead trigger fired ${compactDirs.size} time(s) over a " +
+        s"full drain — expected the O(log drain) compaction cadence")
+  }
+
   test("zero-scheduled round (every entry 429-deferred) does not crash") {
     // rateLimitEvery=1 ⇒ EVERY host is rate-limited EVERY round: round 0
     // schedules the seeds and they all fail ratelimited, so round 1's
