@@ -212,15 +212,22 @@ object Bench {
   def awaitCalmBox(maxWaitSecs: Int, windowSecs: Int = 15,
       busyMaxPct: Double = 6.0, stealMaxPct: Double = 0.3,
       consecutive: Int = 3): Double = {
+    if (maxWaitSecs <= 0) return 0.0 // explicit opt-out of gating
     val t0 = System.nanoTime()
     var calm = 0
     var last = cpuSample()
     if (last == ((0L, 0L, 0L))) return 0.0 // no /proc/stat — nothing to watch
-    // only start a window that FITS under the cap: checking the deadline
-    // before the sleep alone overshoots maxWaitSecs by up to windowSecs
-    while (calm < consecutive &&
-        (System.nanoTime() - t0) / 1e9 + windowSecs <= maxWaitSecs) {
-      Thread.sleep(windowSecs * 1000L)
+    // a cap below one window still buys one SHORTER watch window (a cap is
+    // "wait at most this long", not "skip gating"); above that, budget in
+    // whole windows — counting windows rather than re-checking wall clock
+    // avoids both the up-to-one-window overshoot of a post-sleep deadline
+    // check and the forfeited last window an elapsed+window<=cap test
+    // causes when sampling overhead nudges elapsed past an exact multiple
+    val win = math.min(windowSecs, math.max(maxWaitSecs, 1))
+    var windowsLeft = math.max(maxWaitSecs / win, 1)
+    while (calm < consecutive && windowsLeft > 0) {
+      windowsLeft -= 1
+      Thread.sleep(win * 1000L)
       val now = cpuSample()
       val dTotal = now._3 - last._3
       val busy = if (dTotal <= 0) 0.0 else 100.0 * (now._1 - last._1) / dTotal

@@ -872,8 +872,12 @@ object CrawlEngine {
             keepMaxAuxPerHash = false)
         }
         // this round's raw tombstone run is ephemeral once folded (never
-        // committed; older manifests reference only committed fold dirs)
-        if (rm > 0 && !remDirs.contains(remDir)) Fs.delete(remDir)
+        // committed; older manifests reference only committed fold dirs).
+        // rm == 0: the unconditional KeyLog.write above still mkdir'd an
+        // EMPTY remDir that no manifest will ever reference — remove it or
+        // a zero-tombstone round (e.g. whole-frontier backoff deferral)
+        // leaks one orphan dir per round forever
+        if (rm == 0 || !remDirs.contains(remDir)) Fs.delete(remDir)
       }
       if (a > 0) Fs.delete(addKeyDir) // ephemeral: superseded either way
       (a, rm, keyDirs, remDirs)
@@ -1001,7 +1005,8 @@ object CrawlEngine {
           compactKeyDir, cfg.numBuckets)
         // this round's raw tombstone run was only needed by the compaction
         // read above and no manifest ever references it — drop it
-        if (remCount > 0) Fs.delete(remDir)
+        // unconditionally: remCount == 0 still mkdir'd an empty dir
+        Fs.delete(remDir)
         (Vector(compactDir), Vector(compactKeyDir), Vector.empty[String],
           parquetRowCount(spark, compactDir), 0L)
       } else (grownAddDirs, foldKeyDirs, foldRemDirs, liveCount,
@@ -1061,12 +1066,16 @@ object CrawlEngine {
     * cfg.drainCompactMinDead floor: tiny dead sets scan for free and are
     * not worth a rewrite). Both counts are manifest arithmetic (no footer
     * read). Shared by the fold-skip predicate and the compaction branch,
-    * on the same inputs.
+    * on the same inputs. liveRows > 0: the dead trigger exists to keep
+    * FUTURE frontier scans cheap, and a live count of 0 marks the crawl
+    * done on this very commit — rewriting the whole add log into an empty
+    * compact dir that nothing will ever read is pure terminal waste.
     */
   private def frontierCompactionDue(cfg: CrawlConfig, addDirCount: Int,
       deadRows: Long, liveRows: Long): Boolean =
     addDirCount >= cfg.compactEvery ||
-      (deadRows > liveRows && deadRows >= cfg.drainCompactMinDead)
+      (liveRows > 0 && deadRows > liveRows &&
+        deadRows >= cfg.drainCompactMinDead)
 
   /** Tiered (DRUM-style two-level) key-run fold — the per-round sidecar
     * maintenance that replaces r4's full-state rewrite (r4 verdict "What's

@@ -266,10 +266,11 @@ object KeyLog {
   * Bounded [[LruCache]]: overflow evicts only the least-recently-probed
   * entries instead of stampeding every thread into a full re-read.
   *
-  * Capacity: a probe touches up to 5 (dir, bucket) keys per row (seen
-  * base + L1, frontier base + L1, tombstone runs), so the hot working set
-  * is ~5 × the buckets THIS executor's partitions probe. The default
-  * covers 5 dirs × 4096 buckets — the single-JVM local[‖] worst case
+  * Capacity: a probe touches up to 6 (dir, bucket) keys per row under
+  * the tiered layout (seen base + L1, frontier-key base + L1, tombstone
+  * base + L1), so the hot working set is ~6 × the buckets THIS executor's
+  * partitions probe. The default
+  * covers 6 dirs × 4096 buckets — the single-JVM local[‖] worst case
   * (a multi-executor cluster routes each bucket's probes to one executor,
   * so per-executor working sets are ~buckets/executors × 5). Tune with
   * GRAFT_KEYLOG_CACHE_ENTRIES when bucket counts or memory differ; at the
@@ -280,7 +281,7 @@ object KeyLog {
 object KeyLogCache {
   @transient private lazy val cache =
     new LruCache[(String, Int), Option[(Array[Long], Array[Int])]](
-      sys.env.getOrElse("GRAFT_KEYLOG_CACHE_ENTRIES", "20480").toInt)
+      sys.env.getOrElse("GRAFT_KEYLOG_CACHE_ENTRIES", "24576").toInt)
 
   def get(dir: String, bucket: Int): Option[(Array[Long], Array[Int])] =
     cache.get((dir, bucket)) { case (d, b) =>

@@ -453,9 +453,11 @@ class CrawlEngineSpec extends AnyFunSuite {
 
   test("removal-only drain: majority-dead trigger compacts the add log") {
     // seed the ENTIRE corpus upfront (allSeeds): no round discovers a new
-    // URL, yet the add log still churns — OPIC cash updates to live
-    // entries are written as add+tombstone PAIRS, so dead rows accrete
-    // every round while the add-DIR count stays far below compactEvery=64
+    // URL (every link target is already seeded, and with failures=false
+    // and no rate limiting there are no retry re-adds), so addCount = 0
+    // every round — a true removal-only drain. Dead rows accrete solely
+    // from the tombstones of scheduled entries, while the add-DIR count
+    // stays frozen far below compactEvery=64
     // (the dir-count trigger is explicitly out of reach here). Without the
     // majority-dead trigger the frontier scan would re-read the ever-more-
     // dead add log every round for the whole drain; with it, every
@@ -479,10 +481,13 @@ class CrawlEngineSpec extends AnyFunSuite {
 
     val manifests = (0 to res.manifest.snapshotId)
       .map(graft.engine.Snapshot.read(out, _))
-    // the load-bearing invariant: no commit leaves the add log
-    // majority-dead, so the per-round frontier scan reads < 2× live rows
-    manifests.foreach { m =>
-      assert(m.frontierDeadCount <= math.max(m.frontierCount, 0L),
+    // the load-bearing invariant: no commit whose frontier will be scanned
+    // again leaves the add log majority-dead, so the per-round frontier
+    // scan reads < 2× live rows. The terminal live=0 commit is exempt by
+    // design: nothing ever scans it, so compacting there would be waste
+    // (frontierCompactionDue's liveRows > 0 guard).
+    manifests.filter(_.frontierCount > 0L).foreach { m =>
+      assert(m.frontierDeadCount <= m.frontierCount,
         s"snapshot ${m.snapshotId} committed a majority-dead add log: " +
           s"dead=${m.frontierDeadCount} live=${m.frontierCount}")
     }
@@ -507,11 +512,23 @@ class CrawlEngineSpec extends AnyFunSuite {
     val cfg = CrawlConfig(maxResults = 50, maxRounds = 5, numBuckets = 8)
     val seeds = spec.defaultSeeds(3)
     val oracle = RefOracle.crawl(spec, seeds, cfg)
-    val res = CrawlEngine.run(spark, spec, seeds, cfg, tmpDir())
+    val out = tmpDir()
+    val res = CrawlEngine.run(spark, spec, seeds, cfg, out)
     assert(engineOrder(res) == oracle.order)
     assert(engineSeen(res) == oracle.seen)
     // nothing ever fetched ok under total rate limiting
     assert(res.manifest.fetchedCount == 0L)
+    // a fully-deferred round tombstones NOTHING (rm == 0) — its
+    // unconditionally-mkdir'd raw tombstone dir must still be cleaned up,
+    // or one orphan frontier_rem dir leaks per becalmed round forever.
+    // Reference set = union over ALL retained manifests (earlier snapshots
+    // legitimately pin their own fold dirs for time travel).
+    import graft.engine.{Fs, Snapshot}
+    val referenced = (0 to res.manifest.snapshotId)
+      .flatMap(Snapshot.read(out, _).frontierRemDirs).toSet
+    for (name <- Fs.list(s"$out/frontier_rem"))
+      assert(referenced.contains(s"$out/frontier_rem/$name"),
+        s"orphan tombstone dir from a zero-removal round: $name")
   }
 
   test("skewed corpus (host-0 has 9× pages) still matches oracle") {

@@ -112,12 +112,15 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("plan shape: IVF assignment is a 1-row broadcast, candidates an equi-join") {
-    // both quantizer regimes: flat (default cap) and ACTIVE two-level
-    // (kCap=8 at this corpus, the embed_ann_ivf_2l driver query). The ONLY
+    // both quantizer regimes: flat (default cap) and ACTIVE two-level.
+    // kCap=10 is the embed_ann_ivf_2l driver query's cap (active
+    // two-level); kCap=8 is the DEGENERATE 1-cell/1-super resonance that
+    // driver query deliberately avoids — plan shape must hold even in the
+    // degenerate regime. The ONLY
     // nested-loop join allowed is the broadcast of the single centroid-array
     // row (assignment fold input); vector-vs-vector work must never be a
     // cross join in either regime.
-    for (kCap <- Seq(graft.operators.VectorOps.IvfKCap, 8)) {
+    for (kCap <- Seq(graft.operators.VectorOps.IvfKCap, 10, 8)) {
       val plan = graft.operators.VectorOps.embedAnnIvf(spark, dir, kCap)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

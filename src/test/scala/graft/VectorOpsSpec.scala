@@ -93,6 +93,26 @@ class VectorOpsSpec extends AnyFunSuite {
   }
   private val clusteredN = 12800
 
+  /** Independent re-statements of the engine's cosine rounding and IVF
+    * sampling hash, shared by the two-level reference test and the
+    * empty-super fallback test — one place to keep in lockstep with
+    * VectorOps if the scale-6 rounding or the mix constants ever change.
+    */
+  private def refCos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def refIvfHash(id: Long): Long =
+    ((id % 1048576) * 2654435761L + (id / 1048576) * 2246822519L) % 4294967296L
+
   /** Brute-force top-3 truth over the query set (vec_id < 50). */
   private def knnTruth(dir: String): Set[(Long, Long)] = {
     import spark.implicits._
@@ -204,28 +224,15 @@ class VectorOpsSpec extends AnyFunSuite {
     val n = rows.length
     val k = VectorOps.ivfK(n, kCap)
     assert(k == kCap, s"cap not hit: k=$k — corpus too small for the test")
-    def ivfHash(id: Long): Long =
-      ((id % 1048576) * 2654435761L + (id / 1048576) * 2246822519L) % 4294967296L
     val step = math.max(1L, n.toLong / k)
     val k1 = VectorOps.ivfK1(k)
     val step2 = step * math.max(1L, k.toLong / k1)
-    val cents = rows.filter { case (id, _) => ivfHash(id) % step == 0 }
-    val sups = rows.filter { case (id, _) => ivfHash(id) % step2 == 0 }
+    val cents = rows.filter { case (id, _) => refIvfHash(id) % step == 0 }
+    val sups = rows.filter { case (id, _) => refIvfHash(id) % step2 == 0 }
     assert(sups.nonEmpty && sups.length < cents.length,
       s"degenerate two-level split: ${cents.length} cells / ${sups.length} supers")
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
     def argmax(v: Array[Float], cs: Seq[(Long, Array[Float])]): Long =
-      cs.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+      cs.map { case (cid, cv) => (-refCos(v, cv), cid) }.min._2
     val sidOf = cents.map { case (cid, cv) => cid -> argmax(cv, sups) }.toMap
     def cellOf(v: Array[Float]): Long = {
       val vs = argmax(v, sups)
@@ -233,10 +240,10 @@ class VectorOpsSpec extends AnyFunSuite {
     }
     val cellByVec = rows.map { case (id, v) => id -> cellOf(v) }.toMap
     val expected = rows.filter(_._1 < 50).flatMap { case (q, qv) =>
-      val probed = cents.map { case (cid, cv) => (-cos(qv, cv), cid) }
+      val probed = cents.map { case (cid, cv) => (-refCos(qv, cv), cid) }
         .sorted.take(VectorOps.AnnIvfProbe).map(_._2).toSet
       rows.filter { case (c, _) => c != q && probed(cellByVec(c)) }
-        .map { case (c, cv) => (-cos(qv, cv), c) }.sorted.take(3).zipWithIndex
+        .map { case (c, cv) => (-refCos(qv, cv), c) }.sorted.take(3).zipWithIndex
         .map { case ((ns, c), i) => (q, c, -ns, i + 1) }
     }.toSet
     val engine = VectorOps.embedAnnIvf(spark, dir, kCap).collect()
@@ -261,29 +268,16 @@ class VectorOpsSpec extends AnyFunSuite {
     // the 40 vectors — an independent reference needing no IVF code.
     import spark.implicits._
     val kCap = 4
-    def ivfHash(id: Long): Long =
-      ((id % 1048576) * 2654435761L + (id / 1048576) * 2246822519L) % 4294967296L
-    val ids = (0L until 50L).filter(id => ivfHash(id) % 20 != 0).take(40).toVector
-    assert(ids.size == 40 && ids.count(id => ivfHash(id) % 10 == 0) == 2)
+    val ids = (0L until 50L).filter(id => refIvfHash(id) % 20 != 0).take(40).toVector
+    assert(ids.size == 40 && ids.count(id => refIvfHash(id) % 10 == 0) == 2)
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
       .orderBy("vec_id").limit(40).collect().map(_.getSeq[Float](1).toArray)
     val rows = ids.zip(embs)
     val tdir = java.nio.file.Files.createTempDirectory("ivf-nosup").toString
     rows.toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$tdir/embeddings.parquet")
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
     val expected = rows.flatMap { case (q, qv) =>
-      rows.filter(_._1 != q).map { case (c, cv) => (-cos(qv, cv), c) }
+      rows.filter(_._1 != q).map { case (c, cv) => (-refCos(qv, cv), c) }
         .sorted.take(3).zipWithIndex
         .map { case ((ns, c), i) => (q, c, -ns, i + 1) }
     }.toSet
