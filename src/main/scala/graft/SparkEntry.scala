@@ -43,6 +43,7 @@ object SparkEntry {
     "text_quality" -> (T.textQuality _),
     "text_langid" -> (T.textLangid _),
     "text_fingerprint" -> (T.textFingerprint _),
+    "sample_stratified" -> (T.sampleStratified _),
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
     "embed_neardup" -> (V.embedNearDup _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "text_quality" -> T.textQualitySql,
     "text_langid" -> T.textLangidSql,
     "text_fingerprint" -> T.textFingerprintSql,
+    "sample_stratified" -> T.sampleStratifiedSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,
     "embed_neardup_brute" -> V.embedNearDupBruteSql,

@@ -321,4 +321,52 @@ object TextOps {
   val textFingerprintSql: String =
     """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling + train/heldout split tagging — the
+    * curation step that carves a balanced training mix out of a skewed
+    * corpus (here: the over-represented language downsampled to 30%, the
+    * rest kept at 90%; 5% of survivors tagged heldout).
+    *
+    * The sampling decision is a pure function of the ROW KEY, not of
+    * position or randomness: keep iff the first 8 hex chars of
+    * md5(doc_id ":strat1") sort below the stratum's threshold (lowercase
+    * hex compares identically in Spark and DuckDB, so the twin is exact).
+    * At 100 TB that is the only sampler that works: `rand()` changes under
+    * task retry and partition reshape, TABLESAMPLE is per-split, but a
+    * key-hash decision is reproducible across reruns, engines and
+    * incremental corpus growth (new docs never flip old decisions). The
+    * plan is a single scan-level filter + projection — whole-stage codegen,
+    * zero shuffle, no driver state; `keep_rate_bp` (basis points, integer)
+    * rides along so downstream loss-weighting can undo the skew exactly
+    * (weight ∝ 10^4/keep_rate_bp) without float drift. The split hash uses
+    * a DIFFERENT salt so membership in the sample and in heldout are
+    * independent coins. The final orderBy is presentation-only (stable
+    * dump), not part of the operator's scale cost.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    // thresholds = floor(rate * 2^32) as 8-digit lowercase hex
+    val keepHex = substring(md5(concat($"doc_id".cast("string"), lit(":strat1"))), 1, 8)
+    val splitHex = substring(md5(concat($"doc_id".cast("string"), lit(":split1"))), 1, 8)
+    docs(dir)
+      .withColumn("keep_rate_bp",
+        when($"lang" === "en", lit(3000L)).otherwise(lit(9000L)))
+      .where(keepHex < when($"lang" === "en", lit("4ccccccc"))
+        .otherwise(lit("e6666666")))
+      .select($"doc_id", $"lang", $"source", $"keep_rate_bp",
+        when(splitHex < "0ccccccc", lit("heldout")).otherwise(lit("train"))
+          .as("split_tag"))
+      .orderBy($"doc_id")
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang, source,
+      | CAST(CASE WHEN lang = 'en' THEN 3000 ELSE 9000 END AS BIGINT) AS keep_rate_bp,
+      | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split1'), 1, 8)
+      |        < '0ccccccc' THEN 'heldout' ELSE 'train' END AS split_tag
+      |FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':strat1'), 1, 8)
+      |  < CASE WHEN lang = 'en' THEN '4ccccccc' ELSE 'e6666666' END
+      |ORDER BY doc_id""".stripMargin
 }

@@ -137,4 +137,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
       s"date filter not pushed:\n$plan")
   }
+
+  test("sample_stratified matches an independent md5 reference exactly; " +
+      "plan is a scan-level filter (no agg, no join)") {
+    // the sampling decision is a pure function of doc_id — recompute it
+    // here with java MessageDigest and require EXACT set equality, so any
+    // drift in hash salt, threshold, or stratum routing fails loudly
+    def hex8(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, lang) =>
+      val thresh = if (lang == "en") "4ccccccc" else "e6666666"
+      if (hex8(s"$id:strat1") < thresh) {
+        val tag = if (hex8(s"$id:split1") < "0ccccccc") "heldout" else "train"
+        Some((id, lang, if (lang == "en") 3000L else 9000L, tag))
+      } else None
+    }.toSet
+    val df = graft.operators.TextOps.sampleStratified(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(3), r.getString(4))).toSet
+    assert(got == expected,
+      s"sample drifted from the md5 reference: extra=${got -- expected}, " +
+        s"missing=${expected -- got}")
+    // both strata are populated and the skewed stratum is actually
+    // downsampled relative to the others
+    val keptEn = got.count(_._2 == "en").toDouble /
+      docs.count(_._2 == "en").max(1)
+    val keptRest = got.count(_._2 != "en").toDouble /
+      docs.count(_._2 != "en").max(1)
+    assert(keptEn < keptRest, s"en kept $keptEn >= rest kept $keptRest")
+    // scale shape: pure scan→filter→project; the only exchange allowed is
+    // the presentation sort's range partitioning
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"sampler plan is not a scan-level filter:\n$plan")
+  }
 }
