@@ -44,6 +44,7 @@ object SparkEntry {
     "text_langid" -> (T.textLangid _),
     "text_fingerprint" -> (T.textFingerprint _),
     "sample_stratified" -> (T.sampleStratified _),
+    "decontaminate" -> (T.decontaminate _),
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
     "embed_neardup" -> (V.embedNearDup _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "text_langid" -> T.textLangidSql,
     "text_fingerprint" -> T.textFingerprintSql,
     "sample_stratified" -> T.sampleStratifiedSql,
+    "decontaminate" -> T.decontaminateSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,
     "embed_neardup_brute" -> V.embedNearDupBruteSql,

@@ -369,4 +369,55 @@ object TextOps {
       |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':strat1'), 1, 8)
       |  < CASE WHEN lang = 'en' THEN '4ccccccc' ELSE 'e6666666' END
       |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: flag training documents sharing a token
+    * 8-gram with any held-out eval document (the GPT-3-style n-gram overlap
+    * check, scaled down from 13-grams for the synthetic corpus' short
+    * docs). Eval set = doc_id % 10 == 0 — in production a separate
+    * benchmark table; the shape is identical.
+    *
+    * Scale shape: the eval side is SMALL by construction (benchmarks are
+    * KBs, the training corpus is the 100 TB side), so its distinct grams
+    * BROADCAST and the training corpus is scanned exactly once — each doc's
+    * grams are generated AND deduped inside the row (array_distinct before
+    * explode: per-doc set semantics with zero shuffle), probed against the
+    * broadcast hash relation in place, and only the HITS (a vanishing
+    * fraction) reach the pair-count shuffle. No sort-merge join, no
+    * train-side distinct, no full-gram materialization. At real scale the
+    * broadcast hash relation can be swapped for a Bloom probe of the eval
+    * grams; the plan shape stays scan → probe → tiny aggregate.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    def grams(df: DataFrame): DataFrame =
+      df.select($"doc_id",
+          split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ").as("w"))
+        .where(size($"w") >= 8)
+        .select($"doc_id", explode(array_distinct(
+          transform(sequence(lit(0), size($"w") - 8),
+            i => concat_ws(" ", slice($"w", i + 1, lit(8)))))).as("gram"))
+    val all = grams(docs(dir))
+    val evalGrams = all.where($"doc_id" % 10 === 0)
+      .withColumnRenamed("doc_id", "eval_id")
+    val trainGrams = all.where($"doc_id" % 10 =!= 0)
+    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy($"doc_id", $"eval_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy($"doc_id", $"eval_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      |  FROM norm, UNNEST(range(1, len(w) - 6)) AS t(i)
+      |  WHERE len(w) >= 8)
+      |SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS shared_grams
+      |FROM grams t JOIN grams e USING (gram)
+      |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -177,4 +177,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
       s"sampler plan is not a scan-level filter:\n$plan")
   }
+
+  test("decontaminate matches an independent 8-gram-set reference; " +
+      "eval side broadcasts") {
+    // recompute the token-8-gram overlap in plain Scala and require exact
+    // (doc, eval, count) equality
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def gramSet(t: String): Set[String] = {
+      val w = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+      if (w.length < 8) Set.empty
+      else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val sets = texts.map { case (id, t) => (id, gramSet(t)) }
+    val evalSets = sets.filter(_._1 % 10 == 0)
+    val expected = (for {
+      (tid, tg) <- sets if tid % 10 != 0
+      (eid, eg) <- evalSets
+      shared = (tg & eg).size if shared > 0
+    } yield (tid, eid, shared.toLong)).toSet
+    assert(expected.nonEmpty, "corpus has no cross-eval 8-gram overlap")
+    val df = graft.operators.TextOps.decontaminate(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"overlap drifted: extra=${got -- expected}, missing=${expected -- got}")
+    // scale shape: the (small) eval gram set must broadcast; the training
+    // side must never sort-merge or cartesian against it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"training side shuffled into the join:\n$plan")
+  }
 }
