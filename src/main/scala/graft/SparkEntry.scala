@@ -45,6 +45,7 @@ object SparkEntry {
     "text_fingerprint" -> (T.textFingerprint _),
     "sample_stratified" -> (T.sampleStratified _),
     "decontaminate" -> (T.decontaminate _),
+    "curate_corpus" -> (T.curateCorpus _),
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
     "embed_neardup" -> (V.embedNearDup _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "text_fingerprint" -> T.textFingerprintSql,
     "sample_stratified" -> T.sampleStratifiedSql,
     "decontaminate" -> T.decontaminateSql,
+    "curate_corpus" -> T.curateCorpusSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,
     "embed_neardup_brute" -> V.embedNearDupBruteSql,

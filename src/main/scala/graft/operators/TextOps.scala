@@ -407,6 +407,91 @@ object TextOps {
       .orderBy($"doc_id", $"eval_id")
   }
 
+  /** End-to-end corpus curation — the capstone composition: the individual
+    * training-data operators chained as ONE Catalyst plan, the query a user
+    * actually runs to carve a training set out of a raw 100 TB corpus.
+    * Conjunctive stages, all evaluated against the FULL corpus:
+    *
+    *  1. eval exclusion (doc_id % 10 == 0 is the held-out benchmark set);
+    *  2. dedup keeper — token-SET fingerprint (md5 of the sorted distinct
+    *     token list: order/ multiplicity-insensitive near-exact dedup),
+    *     keeper = min(doc_id) per group via a window;
+    *  3. quality gate — ≥ 40 normalized tokens (integer predicate: no
+    *     float-boundary drift between engines);
+    *  4. decontamination — drops docs sharing a token 8-gram with any eval
+    *     doc ([[decontaminate]]'s broadcast-probe stage, reused as a
+    *     broadcast LEFT ANTI);
+    *  5. [[sampleStratified]]'s deterministic keep + split tagging.
+    *
+    * Scale shape: one corpus scan feeds both the fingerprint window and the
+    * gram probe; the only all-rows shuffle is the dedup window on the
+    * 16-byte fingerprint (dedup IS a shuffle — but of digests, never
+    * documents); contamination hits and eval grams broadcast; every other
+    * stage is a scan-level predicate. Catalyst fuses the whole thing — no
+    * intermediate materialization between stages.
+    */
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(dir).select($"doc_id", $"lang", $"source",
+      trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"))
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(split($"norm", " ")))))
+    val withKeeper = base.withColumn("min_id",
+      min($"doc_id").over(Window.partitionBy(fp)))
+    val grams = base
+      .select($"doc_id", split($"norm", " ").as("w"))
+      .where(size($"w") >= 8)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(0), size($"w") - 8),
+          i => concat_ws(" ", slice($"w", i + 1, lit(8)))))).as("gram"))
+    val evalGrams = grams.where($"doc_id" % 10 === 0).select($"gram").distinct()
+    val contaminated = grams.where($"doc_id" % 10 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram")).select($"doc_id").distinct()
+    val keepHex = substring(md5(concat($"doc_id".cast("string"), lit(":strat1"))), 1, 8)
+    val splitHex = substring(md5(concat($"doc_id".cast("string"), lit(":split1"))), 1, 8)
+    withKeeper
+      .where($"doc_id" % 10 =!= 0 && $"doc_id" === $"min_id")
+      .where(size(split($"norm", " ")) >= 40)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .where(keepHex < when($"lang" === "en", lit("4ccccccc"))
+        .otherwise(lit("e6666666")))
+      .select($"doc_id", $"lang", $"source",
+        when(splitHex < "0ccccccc", lit("heldout")).otherwise(lit("train"))
+          .as("split_tag"),
+        size(split($"norm", " ")).cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val curateCorpusSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |keeper AS (
+      |  SELECT *, min(doc_id) OVER (PARTITION BY
+      |    md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' '))) AS min_id
+      |  FROM base),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      |  FROM (SELECT doc_id, string_split(norm, ' ') AS w FROM base) s,
+      |       UNNEST(range(1, len(w) - 6)) AS t(i)
+      |  WHERE len(w) >= 8),
+      |contaminated AS (
+      |  SELECT DISTINCT t.doc_id FROM grams t JOIN grams e USING (gram)
+      |  WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0)
+      |SELECT doc_id, lang, source,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split1'), 1, 8) < '0ccccccc'
+      |    THEN 'heldout' ELSE 'train' END AS split_tag,
+      |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+      |FROM keeper
+      |WHERE doc_id % 10 <> 0 AND doc_id = min_id
+      |  AND len(string_split(norm, ' ')) >= 40
+      |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |  AND substring(md5(CAST(doc_id AS VARCHAR) || ':strat1'), 1, 8)
+      |      < CASE WHEN lang = 'en' THEN '4ccccccc' ELSE 'e6666666' END
+      |ORDER BY doc_id""".stripMargin
+
   val decontaminateSql: String =
     """WITH norm AS (
       |  SELECT doc_id,

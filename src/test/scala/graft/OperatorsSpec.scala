@@ -211,4 +211,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"training side shuffled into the join:\n$plan")
   }
+
+  test("curate_corpus composition matches an independent reference of all " +
+      "five stages; anti-join broadcasts") {
+    def hex8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).toLowerCase.replaceAll("\\s+", " ").trim))
+    def toks(norm: String) = norm.split(" ", -1)
+    def grams(norm: String): Set[String] = {
+      val w = toks(norm)
+      if (w.length < 8) Set.empty
+      else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
+    }
+    // stage 2: token-set fingerprint keepers over the FULL corpus
+    val keeper = rows.groupBy { case (_, _, _, n) =>
+      md5hex(toks(n).distinct.sorted.mkString(" "))
+    }.values.map(_.map(_._1).min).toSet
+    // stage 4: contaminated training docs
+    val evalG = rows.filter(_._1 % 10 == 0).flatMap(r => grams(r._4)).toSet
+    val contaminated = rows.filter(_._1 % 10 != 0)
+      .filter(r => grams(r._4).exists(evalG)).map(_._1).toSet
+    val expected = rows.flatMap { case (id, lang, src, norm) =>
+      val nTok = toks(norm).length.toLong
+      val keepThresh = if (lang == "en") "4ccccccc" else "e6666666"
+      if (id % 10 != 0 && keeper(id) && nTok >= 40 && !contaminated(id) &&
+          hex8(s"$id:strat1") < keepThresh) {
+        val tag = if (hex8(s"$id:split1") < "0ccccccc") "heldout" else "train"
+        Some((id, lang, src, tag, nTok))
+      } else None
+    }.toSet
+    assert(expected.nonEmpty)
+    val df = graft.operators.TextOps.curateCorpus(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"curation drifted: extra=${got -- expected}, missing=${expected -- got}")
+    // scale shape: contamination anti-join and gram probe both broadcast;
+    // no cartesian anywhere; exactly one window (the dedup fingerprint)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(plan.contains("Window"), s"dedup window missing:\n$plan")
+  }
 }
