@@ -46,6 +46,7 @@ object SparkEntry {
     "sample_stratified" -> (T.sampleStratified _),
     "decontaminate" -> (T.decontaminate _),
     "curate_corpus" -> (T.curateCorpus _),
+    "text_repetition" -> (T.textRepetition _),
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
     "embed_neardup" -> (V.embedNearDup _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "sample_stratified" -> T.sampleStratifiedSql,
     "decontaminate" -> T.decontaminateSql,
     "curate_corpus" -> T.curateCorpusSql,
+    "text_repetition" -> T.textRepetitionSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,
     "embed_neardup_brute" -> V.embedNearDupBruteSql,

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 /** Large-scale training-data text pipeline operators over the `documents`
   * table: exact dedup, n-gram fingerprint dedup, MinHash+LSH near-dup,
   * SimHash, token stats, quality scoring, language-ID heuristic, document
-  * fingerprinting. Every operator has a DuckDB-oracle twin built from the
-  * SAME hash primitives (md5 hex strings, lexicographic mins), so results
-  * are bit-comparable across engines.
+  * fingerprinting, within-doc repetition profiling, deterministic
+  * stratified sampling + split tagging, benchmark decontamination, and the
+  * end-to-end curation composition. Every operator has a DuckDB-oracle twin
+  * built from the SAME hash primitives (md5 hex strings, lexicographic
+  * mins, integer `div` ratios), so results are bit-comparable across
+  * engines.
   *
   * Scale notes: all of these are shuffle-once groupBy/join pipelines on
   * key+small-signature columns. MinHash bands shuffle 32-byte digests, not
@@ -406,6 +409,51 @@ object TextOps {
       .agg(count(lit(1)).as("shared_grams"))
       .orderBy($"doc_id", $"eval_id")
   }
+
+  /** Within-document repetition profile (Gopher-rule family): per doc, the
+    * total vs distinct token-trigram counts and the duplicated-occurrence
+    * share in integer basis points. High `rep_bp` marks boilerplate /
+    * looping generations — the standard quality filter that CROSS-doc dedup
+    * cannot catch (a unique document can still be 90% self-repetition).
+    *
+    * Scale shape: the whole profile is higher-order expressions inside the
+    * row (sequence → transform → array_distinct), so the plan is one scan +
+    * projection — zero shuffle, whole-stage codegen, trivially linear at
+    * 100 TB. All outputs are integers (counts and a `div` ratio), so the
+    * DuckDB twin is bit-exact.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    docs(dir)
+      .select($"doc_id",
+        split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ").as("w"))
+      .where(size($"w") >= 3)
+      .select($"doc_id",
+        (size($"w") - 2).cast("long").as("trigram_total"),
+        size(array_distinct(transform(sequence(lit(0), size($"w") - 3),
+          i => concat_ws(" ", slice($"w", i + 1, lit(3))))))
+          .cast("long").as("trigram_uniq"))
+      .withColumn("trigram_dups", $"trigram_total" - $"trigram_uniq")
+      .withColumn("rep_bp", expr("(trigram_dups * 10000) div trigram_total"))
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(len(w) - 2 AS BIGINT) AS trigram_total,
+      |    CAST(len(list_distinct(
+      |      [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]))
+      |      AS BIGINT) AS trigram_uniq
+      |  FROM norm WHERE len(w) >= 3)
+      |SELECT doc_id, trigram_total, trigram_uniq,
+      |  trigram_total - trigram_uniq AS trigram_dups,
+      |  ((trigram_total - trigram_uniq) * 10000) // trigram_total AS rep_bp
+      |FROM g ORDER BY doc_id""".stripMargin
 
   /** End-to-end corpus curation — the capstone composition: the individual
     * training-data operators chained as ONE Catalyst plan, the query a user

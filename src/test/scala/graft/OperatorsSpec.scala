@@ -260,4 +260,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     assert(plan.contains("Window"), s"dedup window missing:\n$plan")
   }
+
+  test("text_repetition matches an independent trigram reference; " +
+      "plan is a pure scan projection") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim))
+    val expected = texts.flatMap { case (id, norm) =>
+      val w = norm.split(" ", -1)
+      if (w.length < 3) None
+      else {
+        val total = (w.length - 2).toLong
+        val uniq = (0 to w.length - 3)
+          .map(i => w.slice(i, i + 3).mkString(" ")).distinct.size.toLong
+        Some((id, total, uniq, total - uniq, (total - uniq) * 10000 / total))
+      }
+    }.toSet
+    val df = graft.operators.TextOps.textRepetition(spark, dir)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"repetition drifted: extra=${got -- expected}, missing=${expected -- got}")
+    assert(expected.exists(_._4 > 0), "corpus has no self-repeating doc")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"repetition profile is not a scan-level projection:\n$plan")
+  }
 }
