@@ -47,6 +47,7 @@ object SparkEntry {
     "decontaminate" -> (T.decontaminate _),
     "curate_corpus" -> (T.curateCorpus _),
     "text_repetition" -> (T.textRepetition _),
+    "neardup_clusters" -> (T.neardupClusters _),
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
     "embed_neardup" -> (V.embedNearDup _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "decontaminate" -> T.decontaminateSql,
     "curate_corpus" -> T.curateCorpusSql,
     "text_repetition" -> T.textRepetitionSql,
+    "neardup_clusters" -> T.neardupClustersSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,
     "embed_neardup_brute" -> V.embedNearDupBruteSql,

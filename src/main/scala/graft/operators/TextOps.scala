@@ -93,6 +93,15 @@ object TextOps {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
+    lshPairs(dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Verified LSH near-dup pairs, unordered — shared by `dedupMinhashLsh`
+    * (which just sorts it) and `neardupClusters` (which consumes it as the
+    * edge list of the duplicate graph).
+    */
+  private def lshPairs(dir: String)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
     // sh is consumed 3x (signature build + both sides of the verify join)
     // and bands 2x (candidate self-join): persist so the shingle build runs
     // once, not four times
@@ -121,11 +130,14 @@ object TextOps {
           size(array_union($"sa", $"sb")), 6))
       .where($"jac" >= 0.8)
       .select($"doc_a", $"doc_b", $"jac")
-      .orderBy($"doc_a", $"doc_b")
   }
 
-  val dedupMinhashLshSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+  /** Shared DuckDB CTE chain ending in the verified `pairs` relation —
+    * reused verbatim by the pair query and the cluster query so the two
+    * oracles can never drift apart.
+    */
+  private val lshPairCtes: String =
+    """tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
       |   FOR i IN generate_series(1, len(ws)-2)]) AS sh FROM tok WHERE len(ws) >= 3),
       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
@@ -141,14 +153,99 @@ object TextOps {
       | UNION ALL SELECT doc_id, 2, md5(h4||'|'||h5) FROM mh
       | UNION ALL SELECT doc_id, 3, md5(h6||'|'||h7) FROM mh),
       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      | FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
-      |SELECT c.doc_a, c.doc_b,
+      | FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |pairs AS (SELECT c.doc_a, c.doc_b,
       | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
       |FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
       |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |   / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |   / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8)""".stripMargin
+
+  val dedupMinhashLshSql: String =
+    s"WITH $lshPairCtes\nSELECT doc_a, doc_b, jac FROM pairs ORDER BY doc_a, doc_b"
+
+  /** Near-dup cluster canonicalization: connected components over the
+    * verified LSH pair graph, one canonical keeper per duplicate cluster.
+    * Pairs alone don't dedup a corpus — near-duplicate is not transitive, so
+    * pipelines (CCNet, RefinedWeb, Dolma) union the pair graph into
+    * components and keep one representative per component. Output: every
+    * clustered doc with its component label (= min doc_id in the component),
+    * the component size, and `is_canonical` marking the keeper.
+    *
+    * Scale shape: iterative hash-min label propagation — per iteration one
+    * equi-join of the edge list against the current labels plus a min
+    * aggregate, all on 8-byte longs; edges are persisted once and reused,
+    * labels are `localCheckpoint`ed so the plan never accretes lineage
+    * across iterations. Converges in O(duplicate-cluster diameter)
+    * iterations — tiny in practice because LSH components are dense blobs of
+    * mutual near-dups, not long chains; a web-scale corpus with adversarial
+    * chain-shaped components would swap this loop for the two-phase
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"), which is O(log²N) rounds on the
+    * same join-shaped per-round plan. The edge list is |near-dup pairs|,
+    * orders of magnitude under corpus size, so each round's shuffle is small
+    * even at 100 TB of documents.
+    */
+  def neardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val pairs = lshPairs(dir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+      .localCheckpoint()
+    val maxIters = 50 // >= any plausible cluster diameter; fixpoint is
+    // guaranteed (labels decrease monotonically over a finite order)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select($"node".as("dst"), $"lbl".as("nlbl")), Seq("dst"))
+        .groupBy($"src")
+        .agg(min($"nlbl").as("nmin"))
+        .select($"src".as("node"), $"nmin")
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select($"node", least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .where(col("n.lbl") < col("o.lbl")).limit(1).count()
+      converged = changed == 0L
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false) // final plan reads only checkpointed labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"neardup_clusters: no fixpoint in $maxIters rounds — component " +
+          "diameter exceeds the propagation bound; use star-contraction")
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select($"node".as("doc_id"), $"lbl".as("cluster_id"),
+        $"cluster_size", ($"node" === $"lbl").as("is_canonical"))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
+  /** DuckDB twin: the SAME pair CTEs, components via a recursive
+    * min-label-reachability CTE (the recursive UNION dedups states, so it
+    * terminates at the transitive closure).
+    */
+  val neardupClustersSql: String =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+       |       c.node = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sz s USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin
 
   /** 32-bit SimHash over distinct tokens: per-bit weighted vote of md5 token
     * hashes (bit j extracted from hex nibble j/4).
