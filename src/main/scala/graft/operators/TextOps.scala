@@ -189,16 +189,34 @@ object TextOps {
   def neardupClusters(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val pairs = lshPairs(dir).select($"doc_a", $"doc_b")
+    val labels = connectedComponents(lshPairs(dir).select($"doc_a", $"doc_b"))
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select($"node".as("doc_id"), $"lbl".as("cluster_id"),
+        $"cluster_size", ($"node" === $"lbl").as("is_canonical"))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
+  /** Hash-min connected components over an undirected pair list (two long
+    * columns). Returns one row per node with `lbl` = min node id in its
+    * component. Exposed package-private so the iteration machinery can be
+    * gated on planted graphs (deep chains near the bound) independently of
+    * the LSH pair stage.
+    */
+  private[graft] def connectedComponents(
+      pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val Seq(a, b) = pairs.columns.toSeq
     val edges = pairs
-      .union(pairs.select($"doc_b", $"doc_a"))
+      .union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")
       .persist()
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
       .localCheckpoint()
-    val maxIters = 50 // >= any plausible cluster diameter; fixpoint is
-    // guaranteed (labels decrease monotonically over a finite order)
+    // maxIters >= component diameter suffices; fixpoint is guaranteed
+    // (labels decrease monotonically over a finite order)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -221,11 +239,7 @@ object TextOps {
       throw new IllegalStateException(
         s"neardup_clusters: no fixpoint in $maxIters rounds — component " +
           "diameter exceeds the propagation bound; use star-contraction")
-    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("lbl"))
-      .select($"node".as("doc_id"), $"lbl".as("cluster_id"),
-        $"cluster_size", ($"node" === $"lbl").as("is_canonical"))
-      .orderBy($"cluster_id", $"doc_id")
+    labels
   }
 
   /** DuckDB twin: the SAME pair CTEs, components via a recursive

@@ -319,4 +319,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(expected.exists(_._3 >= 3), "no multi-hop component in corpus")
     assert(expected.count(_._4) == sizes.size, "one canonical per cluster")
   }
+
+  test("connectedComponents converges on a planted deep chain and enforces " +
+      "its iteration bound") {
+    import spark.implicits._
+    // chain 100..124 (diameter 24, labels must walk the full length), a
+    // star at 200, and an isolated pair — worst case for hash-min, the
+    // shape the LSH corpus can't produce
+    val chain = (100L until 124L).map(i => (i, i + 1))
+    val star = (1L to 5L).map(i => (200L, 200L + i))
+    val pairEdges = (chain ++ star ++ Seq((300L, 301L))).toDF("a", "b")
+    val got = graft.operators.TextOps.connectedComponents(pairEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected =
+      (100L to 124L).map(n => (n, 100L)).toSet ++
+        (200L to 205L).map(n => (n, 200L)).toSet ++
+        Set((300L, 300L), (301L, 300L))
+    assert(got == expected,
+      s"planted components drifted: extra=${got -- expected}, missing=${expected -- got}")
+    // the bound is a real guard: a diameter-24 chain cannot converge in 3
+    val e = intercept[IllegalStateException] {
+      graft.operators.TextOps.connectedComponents(pairEdges, maxIters = 3)
+    }
+    assert(e.getMessage.contains("no fixpoint"))
+  }
 }
