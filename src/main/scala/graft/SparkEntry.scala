@@ -48,6 +48,7 @@ object SparkEntry {
     "curate_corpus" -> (T.curateCorpus _),
     "text_repetition" -> (T.textRepetition _),
     "neardup_clusters" -> (T.neardupClusters _),
+    "embed_neardup_clusters" -> (V.embedNearDupClusters _),
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
     "embed_neardup" -> (V.embedNearDup _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "curate_corpus" -> T.curateCorpusSql,
     "text_repetition" -> T.textRepetitionSql,
     "neardup_clusters" -> T.neardupClustersSql,
+    "embed_neardup_clusters" -> V.embedNearDupClustersSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,
     "embed_neardup_brute" -> V.embedNearDupBruteSql,

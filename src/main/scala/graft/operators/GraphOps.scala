@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives shared by the dedup operators. */
+object GraphOps {
+
+  /** Hash-min connected components over an undirected pair list (two long
+    * columns). Returns one row per node with `lbl` = min node id in its
+    * component.
+    *
+    * Scale shape: iterative hash-min label propagation — per iteration one
+    * equi-join of the edge list against the current labels plus a min
+    * aggregate, all on 8-byte longs; edges are persisted once and reused,
+    * labels are `localCheckpoint`ed so the plan never accretes lineage
+    * across iterations. Converges in O(component diameter) iterations —
+    * tiny in practice because near-dup components are dense blobs of mutual
+    * near-dups, not long chains; a corpus with adversarial chain-shaped
+    * components would swap this loop for the two-phase large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"), which is O(log²N) rounds on the same join-shaped per-round
+    * plan. The edge list is |near-dup pairs|, orders of magnitude under
+    * corpus size, so each round's shuffle is small even at 100 TB of
+    * documents.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val Seq(a, b) = pairs.columns.toSeq
+    val edges = pairs
+      .union(pairs.select(col(b), col(a)))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+      .localCheckpoint()
+    // maxIters >= component diameter suffices; fixpoint is guaranteed
+    // (labels decrease monotonically over a finite order)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select($"node".as("dst"), $"lbl".as("nlbl")), Seq("dst"))
+        .groupBy($"src")
+        .agg(min($"nlbl").as("nmin"))
+        .select($"src".as("node"), $"nmin")
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select($"node", least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .where(col("n.lbl") < col("o.lbl")).limit(1).count()
+      converged = changed == 0L
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false) // final plan reads only checkpointed labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint in $maxIters rounds — component " +
+          "diameter exceeds the propagation bound; use star-contraction")
+    labels
+  }
+
+  /** Project component labels into the cluster-canonicalization output
+    * shape shared by `neardup_clusters` and `embed_neardup_clusters`:
+    * (id, cluster_id = component min, cluster_size, is_canonical).
+    */
+  def canonicalClusters(pairs: DataFrame, idName: String): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select($"node".as(idName), $"lbl".as("cluster_id"),
+        $"cluster_size", ($"node" === $"lbl").as("is_canonical"))
+      .orderBy($"cluster_id", col(idName))
+  }
+}

@@ -200,20 +200,25 @@ object VectorOps {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  val embedNearDupSql: String = {
-    // B derives from count(*) INSIDE the SQL so the twin adapts with the
-    // engine (nearDupBits: ceil(log2(n/4)) clamped [4,16]). GREATEST(n,1)
-    // keeps the twin's domain matching the engine's: LOG2(0) is -inf and
-    // CAST(-inf AS INT) errors in DuckDB, while nearDupBits clamps n=0 to
-    // the same 4 bits GREATEST(1,·)/4 yields — operator and oracle must
-    // share a domain, not just agree where both happen to run
+  /** Shared DuckDB CTE chain ending in the verified `vp` (vector pairs)
+    * relation — reused verbatim by the pair query and the cluster query so
+    * the two oracles can never drift apart.
+    *
+    * B derives from count(*) INSIDE the SQL so the twin adapts with the
+    * engine (nearDupBits: ceil(log2(n/4)) clamped [4,16]). GREATEST(n,1)
+    * keeps the twin's domain matching the engine's: LOG2(0) is -inf and
+    * CAST(-inf AS INT) errors in DuckDB, while nearDupBits clamps n=0 to
+    * the same 4 bits GREATEST(1,·)/4 yields — operator and oracle must
+    * share a domain, not just agree where both happen to run.
+    */
+  private val nearDupPairCtes: String = {
     val bSub = "(SELECT LEAST(GREATEST(CAST(CEIL(LOG2(GREATEST(COUNT(*),1)/4.0)) AS INT),4),16) FROM embeddings)"
     val arms = (0 until NearDupTables).map { t =>
       val bucket = s"list_sum([CASE WHEN embedding[((${t * 19} + i*41) % 64) + 1] >= 0" +
         s" THEN 1<<i ELSE 0 END FOR i IN generate_series(0, $bSub - 1)])"
       s"SELECT vec_id, $t AS tbl, $bucket AS bk FROM embeddings"
     }.mkString(" UNION ALL ")
-    s"""WITH bk AS ($arms),
+    s"""bk AS ($arms),
        |probes AS (SELECT vec_id, tbl,
        |  unnest(list_prepend(bk, [xor(bk, 1<<j) FOR j IN generate_series(0, $bSub - 1)])) AS bk
        | FROM bk),
@@ -222,10 +227,45 @@ object VectorOps {
        |p AS (SELECT vec_a, vec_b, ${cosineSql("ea", "eb")} AS sim
        | FROM cand c
        | JOIN (SELECT vec_id, embedding AS ea FROM embeddings) a ON a.vec_id = c.vec_a
-       | JOIN (SELECT vec_id, embedding AS eb FROM embeddings) b ON b.vec_id = c.vec_b)
-       |SELECT vec_a, vec_b, sim FROM p WHERE sim >= $NearDupThreshold
-       |ORDER BY vec_a, vec_b""".stripMargin
+       | JOIN (SELECT vec_id, embedding AS eb FROM embeddings) b ON b.vec_id = c.vec_b),
+       |vp AS (SELECT vec_a, vec_b, sim FROM p WHERE sim >= $NearDupThreshold)""".stripMargin
   }
+
+  val embedNearDupSql: String =
+    s"WITH $nearDupPairCtes\nSELECT vec_a, vec_b, sim FROM vp ORDER BY vec_a, vec_b"
+
+  /** Near-dup cluster canonicalization over EMBEDDINGS: connected components
+    * of the verified cosine near-dup pair graph, one canonical keeper per
+    * cluster — the semantic-dedup counterpart of the text-side
+    * `neardup_clusters` (SemDeDup-style pipelines group embedding near-dups
+    * into clusters and keep one representative). Component machinery and its
+    * scale shape: [[GraphOps.connectedComponents]].
+    */
+  def embedNearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    GraphOps.canonicalClusters(
+      embedNearDup(spark, dir).select($"vec_a", $"vec_b"), "vec_id")
+  }
+
+  /** DuckDB twin: the SAME pair CTEs, components via a recursive
+    * min-label-reachability CTE (the recursive UNION dedups states, so it
+    * terminates at the transitive closure).
+    */
+  val embedNearDupClustersSql: String =
+    s"""WITH RECURSIVE $nearDupPairCtes,
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM vp
+       |          UNION ALL SELECT vec_b, vec_a FROM vp),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT c.node AS vec_id, c.cluster_id, s.cluster_size,
+       |       c.node = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sz s USING (cluster_id)
+       |ORDER BY cluster_id, vec_id""".stripMargin
 
   /** ANN LSH parameters: [[AnnTables]] hash tables; bits per table GROW
     * WITH log N ([[annBits]]: ~16 vectors per bucket, clamped [4,16]) so

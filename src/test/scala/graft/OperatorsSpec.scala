@@ -329,7 +329,7 @@ class OperatorsSpec extends AnyFunSuite {
     val chain = (100L until 124L).map(i => (i, i + 1))
     val star = (1L to 5L).map(i => (200L, 200L + i))
     val pairEdges = (chain ++ star ++ Seq((300L, 301L))).toDF("a", "b")
-    val got = graft.operators.TextOps.connectedComponents(pairEdges)
+    val got = graft.operators.GraphOps.connectedComponents(pairEdges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected =
       (100L to 124L).map(n => (n, 100L)).toSet ++
@@ -339,7 +339,7 @@ class OperatorsSpec extends AnyFunSuite {
       s"planted components drifted: extra=${got -- expected}, missing=${expected -- got}")
     // the bound is a real guard: a diameter-24 chain cannot converge in 3
     val e = intercept[IllegalStateException] {
-      graft.operators.TextOps.connectedComponents(pairEdges, maxIters = 3)
+      graft.operators.GraphOps.connectedComponents(pairEdges, maxIters = 3)
     }
     assert(e.getMessage.contains("no fixpoint"))
   }

@@ -307,4 +307,31 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(0) != r.getLong(1)))
     graft.engine.Fs.delete(tiny)
   }
+
+  test("embed_neardup_clusters matches an independent union-find over the " +
+      "verified cosine pair graph") {
+    val pairs = VectorOps.embedNearDup(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val root = nodes.map(n => n -> find(n)).toMap
+    val sizes = root.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    val expected = nodes.map(n =>
+      (n, root(n), sizes(root(n)).toLong, n == root(n))).toSet
+    val got = VectorOps.embedNearDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == expected,
+      s"clusters drifted: extra=${got -- expected}, missing=${expected -- got}")
+    assert(expected.exists(_._3 >= 3), "no multi-hop component among pairs")
+  }
 }
