@@ -272,7 +272,8 @@ object Bench {
       "text_langid", "embed_knn", "embed_ann_lsh", "embed_ann_ivf",
       "img_phash_neardup", "audio_features", "video_frames",
       "sample_stratified", "decontaminate", "curate_corpus",
-      "text_repetition", "neardup_clusters", "embed_neardup_clusters")
+      "text_repetition", "neardup_clusters", "embed_neardup_clusters",
+      "img_phash_clusters")
     try SparkEntry.queries("q_topk")(spark, sfDir).count() // session warmup
     catch { case _: Throwable => () }
     // raw hardware probe BRACKETING the query block (r4 verdict "What's

@@ -69,6 +69,7 @@ object SparkEntry {
     "embed_ann_ivf_2l" -> ((s, d) => V.embedAnnIvf(s, d, kCap = 10)),
     // multimodal: phash near-dup with a synthetic-phash oracle twin
     "img_phash_neardup" -> (ImageOps.imgPhashNearDup _),
+    "img_phash_clusters" -> (ImageOps.imgPhashClusters _),
     // multimodal: real RIFF/WAVE parse + frame-container sampling,
     // arithmetic oracle twins (MediaOps scaladoc explains the gate)
     "audio_features" -> (M.audioFeatures _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "embed_ann_ivf" -> V.embedAnnIvfSql,
     "embed_ann_ivf_2l" -> V.embedAnnIvfSqlFor(10),
     "img_phash_neardup" -> ImageOps.imgPhashNearDupSql,
+    "img_phash_clusters" -> ImageOps.imgPhashClustersSql,
     "audio_features" -> M.audioFeaturesSql,
     "video_frames" -> M.videoFramesSql,
     "stream_event_window" -> S.streamEventWindowSql,

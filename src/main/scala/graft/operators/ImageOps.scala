@@ -194,14 +194,54 @@ object ImageOps {
       "img_a", "img_b", "cast(hamming AS int) AS hamming")
   }
 
+  /** Shared DuckDB CTE chain ending in the verified `ip` (image pairs)
+    * relation — reused verbatim by the pair query and the cluster query so
+    * the two oracles can never drift apart (same discipline as
+    * `VectorOps.nearDupPairCtes`).
+    */
+  private val phashPairCtes: String =
+    """t AS (SELECT doc_id, ((doc_id // 7) % 1000000) * 8796093025688 + (doc_id % 7) AS ph
+      |      FROM documents),
+      |ip AS (SELECT a.doc_id AS img_a, b.doc_id AS img_b,
+      |              CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+      |       FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |       WHERE bit_count(xor(a.ph, b.ph)) <= 3)""".stripMargin
+
   val imgPhashNearDupSql: String =
-    """WITH t AS (SELECT doc_id, ((doc_id // 7) % 1000000) * 8796093025688 + (doc_id % 7) AS ph
-      |           FROM documents)
-      |SELECT a.doc_id AS img_a, b.doc_id AS img_b,
-      |       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
-      |FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.ph, b.ph)) <= 3
-      |ORDER BY img_a, img_b""".stripMargin
+    s"WITH $phashPairCtes\nSELECT img_a, img_b, hamming FROM ip ORDER BY img_a, img_b"
+
+  /** Image near-dup cluster canonicalization: connected components over the
+    * verified phash hamming pair graph, one canonical keeper per cluster —
+    * completes the per-modality trio (text `neardup_clusters`, embedding
+    * `embed_neardup_clusters`, image here) on the shared
+    * [[graft.operators.GraphOps.connectedComponents]] core; see it for the
+    * scale shape. Near-dup flagging marks pairs; a curation pipeline keeps
+    * one image per transitive cluster, which needs the component step.
+    */
+  def imgPhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraphOps.canonicalClusters(
+      imgPhashNearDup(spark, dir).select($"img_a", $"img_b"), "img_id")
+  }
+
+  /** DuckDB twin: the SAME pair CTEs, components via a recursive
+    * min-label-reachability CTE (the recursive UNION dedups states, so it
+    * terminates at the transitive closure).
+    */
+  val imgPhashClustersSql: String =
+    s"""WITH RECURSIVE $phashPairCtes,
+       |edges AS (SELECT img_a AS src, img_b AS dst FROM ip
+       |          UNION ALL SELECT img_b, img_a FROM ip),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT c.node AS img_id, c.cluster_id, s.cluster_size,
+       |       c.node = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sz s USING (cluster_id)
+       |ORDER BY cluster_id, img_id""".stripMargin
 
   /** End-to-end crawl smoke query for the driver's rows-only gate: run a
     * small deterministic crawl, then validate every fetched binary payload

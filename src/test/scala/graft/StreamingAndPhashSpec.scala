@@ -157,6 +157,32 @@ class StreamingAndPhashSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "synthetic phash groups must yield near-dup pairs")
   }
 
+  test("img_phash_clusters matches an independent union-find over the " +
+      "verified phash pair graph") {
+    val pairs = ImageOps.imgPhashNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val root = nodes.map(n => n -> find(n)).toMap
+    val sizes = root.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    val expected = nodes.map(n =>
+      (n, root(n), sizes(root(n)).toLong, n == root(n))).toSet
+    val got = ImageOps.imgPhashClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == expected,
+      s"clusters drifted: extra=${got -- expected}, missing=${expected -- got}")
+    assert(expected.exists(_._3 >= 3), "no multi-node cluster among pairs")
+  }
+
   test("phash pigeonhole bucketing finds EXACTLY the brute-force hamming<=3 pairs") {
     import spark.implicits._
     // derive a phash table from a small deterministic crawl
