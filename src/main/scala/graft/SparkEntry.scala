@@ -48,6 +48,7 @@ object SparkEntry {
     "curate_corpus" -> (T.curateCorpus _),
     "text_repetition" -> (T.textRepetition _),
     "neardup_clusters" -> (T.neardupClusters _),
+    "corpus_mixture" -> (T.corpusMixture _),
     "embed_neardup_clusters" -> (V.embedNearDupClusters _),
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "curate_corpus" -> T.curateCorpusSql,
     "text_repetition" -> T.textRepetitionSql,
     "neardup_clusters" -> T.neardupClustersSql,
+    "corpus_mixture" -> T.corpusMixtureSql,
     "embed_neardup_clusters" -> V.embedNearDupClustersSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,

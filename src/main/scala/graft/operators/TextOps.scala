@@ -604,4 +604,50 @@ object TextOps {
       |FROM grams t JOIN grams e USING (gram)
       |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-language corpus mixture statistics: doc count, total whitespace
+    * tokens, exact interpolated p50/p90 token counts, and a deterministic
+    * uniform-mixture resampling weight in integer basis points
+    * (weight_bp = 10000 · total_docs / (n_langs · n_docs), integer div) —
+    * the numbers a training pipeline needs to set per-language sampling
+    * rates for data mixing (and the shape of any "how big is each slice"
+    * corpus report).
+    *
+    * Scale shape: one narrow scan projection (lang + per-row token count),
+    * then a groupBy on the low-cardinality language key. `percentile` is
+    * exact via a per-group value→count map, so aggregate state is
+    * O(distinct token counts per language) — bounded (token counts, not
+    * tokens) even at 100 TB; a corpus with an unbounded value domain would
+    * swap in `approx_percentile`, same plan. The grand-total window runs
+    * over the O(#languages) aggregate output, not the corpus.
+    */
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    docs(dir)
+      .select($"lang", size(split($"text", " ")).cast("bigint").as("n_tokens"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 6).as("p90_tokens"))
+      .withColumn("weight_bp",
+        expr("cast((10000 * sum(n_docs) over ()) div ((count(1) over ()) * n_docs) as bigint)"))
+      .orderBy($"lang")
+  }
+
+  /** DuckDB twin: `quantile_cont` is the same PERCENTILE_CONT interpolation
+    * (rank = p·(N−1), linear between floor/ceil) as Spark's exact
+    * `percentile`; the weight is pure integer arithmetic on both sides.
+    */
+  val corpusMixtureSql: String =
+    """WITH g AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+      |    round(quantile_cont(len(string_split(text,' ')), 0.5), 6) AS p50_tokens,
+      |    round(quantile_cont(len(string_split(text,' ')), 0.9), 6) AS p90_tokens
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, total_tokens, p50_tokens, p90_tokens,
+      |  CAST((10000 * sum(n_docs) OVER ()) // ((count(*) OVER ()) * n_docs) AS BIGINT) AS weight_bp
+      |FROM g ORDER BY lang""".stripMargin
 }

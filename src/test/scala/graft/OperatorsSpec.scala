@@ -32,6 +32,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_mixture matches an independent per-language reference " +
+      "(exact interpolated percentiles + integer mixture weights)") {
+    import spark.implicits._
+    val byLang = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (l, rows) => l -> rows.map(_._2).sorted }
+    // PERCENTILE_CONT: rank = p*(N-1), linear interpolation — computed
+    // here from first principles, independent of both engines
+    def pct(v: Array[Long], p: Double): Double = {
+      val rank = p * (v.length - 1)
+      val (lo, hi) = (math.floor(rank).toInt, math.ceil(rank).toInt)
+      val x = v(lo) + (rank - lo) * (v(hi) - v(lo))
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val totalDocs = byLang.values.map(_.length.toLong).sum
+    val nLangs = byLang.size.toLong
+    val expected = byLang.map { case (l, v) =>
+      (l, v.length.toLong, v.sum, pct(v, 0.5), pct(v, 0.9),
+        (10000L * totalDocs) / (nLangs * v.length))
+    }.toSet
+    val got = graft.operators.TextOps.corpusMixture(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSet
+    assert(got == expected,
+      s"mixture drifted: extra=${got -- expected}, missing=${expected -- got}")
+    assert(expected.size >= 2, "corpus should span multiple languages")
+    // plan shape: no join anywhere; the corpus-wide aggregate is grouped
+    // (partial map-side combine), not a driver-side collect
+    val plan = graft.operators.TextOps.corpusMixture(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
   test("oracleSql covers exactly the SQL-expressible queries") {
     val sqlFree = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(sqlFree == Set("crawl_smoke", "crawl_phash_dedup"))
