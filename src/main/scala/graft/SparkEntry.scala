@@ -80,7 +80,11 @@ object SparkEntry {
     "stream_sessionize" -> (S.streamSessionize _),
     // crawl engine end-to-end (binary payloads; rows-only driver check)
     "crawl_smoke" -> (ImageOps.crawlSmoke _),
-    "crawl_phash_dedup" -> (ImageOps.crawlPhashDedup _)
+    "crawl_phash_dedup" -> (ImageOps.crawlPhashDedup _),
+    // image-curation capstone over a crawl (decode gate → size/aspect →
+    // phash-cluster canonical keep → per-host cap); binary-backed, so
+    // rows-only driver check + the independent full-funnel ScalaTest
+    "crawl_curate_images" -> (ImageOps.curateImages _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -282,6 +282,67 @@ object ImageOps {
       phashNearDup(res.fetched(spark), "image_id", "phash", maxDist = 3), out)
   }
 
+  /** curate_images gates: minimum edge length in px and maximum long/short
+    * edge ratio — LAION-style pre-training filters (tiny images and extreme
+    * aspect ratios train poorly). MinEdge sits inside the synthetic
+    * distribution ([16, 33) px) so the gate provably prunes; per-host cap
+    * for source diversity (a crawl corpus is dominated by its biggest
+    * hosts unless capped).
+    */
+  private[graft] val CurateMinEdge = 24
+  private[graft] val CurateMaxAspect = 2
+  private[graft] val CurateHostCap = 4
+
+  /** End-to-end IMAGE curation — the image-payload counterpart of
+    * `curate_corpus`: over a deterministic crawl,
+    *   1. validity: real decode, decoded dims ≡ typed metadata, recomputed
+    *      phash ≡ stored phash (corrupt/mislabeled payloads drop);
+    *   2. size/aspect gate: both edges ≥ [[CurateMinEdge]] px, long edge ≤
+    *      [[CurateMaxAspect]]× short edge (integer arithmetic only);
+    *   3. near-dup canonicalization: [[phashNearDup]] pairs over the
+    *      SURVIVORS → [[GraphOps.connectedComponents]] → keep only cluster
+    *      canonicals (min image_id) and unclustered images;
+    *   4. per-host diversity cap: top-[[CurateHostCap]] per host by
+    *      (priority desc, image_id) — deterministic under parallelism.
+    *
+    * Scale shape: stages 1–2 are per-partition projections (bytes never
+    * shuffle); stage 3 shuffles only ids+hashes (16 B/row) with the skew-
+    * capped candidate join; stage 4 is one hash-partitioned window on the
+    * host key whose per-host state is the top-K heap. Rows-only driver gate
+    * (crawl-backed binary payloads); the ScalaTest recomputes every stage
+    * independently (ImageIO decode, brute pairs, union-find, host sort).
+    */
+  def curateImages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = CorpusSpec(numHosts = 5, pagesPerHost = 25)
+    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10, numBuckets = 8)
+    val out = java.nio.file.Files.createTempDirectory("curate-images").toString
+    val res = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, out)
+    val survivors = res.fetched(spark)
+      .withColumn("dec", decodeDims($"bytes"))
+      .withColumn("phash2", phashOfBytes($"bytes"))
+      .where($"dec._3" && $"dec._1" === $"w" && $"dec._2" === $"h" &&
+        $"phash2" === $"phash")
+      .where($"w" >= CurateMinEdge && $"h" >= CurateMinEdge &&
+        greatest($"w", $"h") <= least($"w", $"h") * CurateMaxAspect)
+      .select($"image_id", $"w", $"h", $"phash", $"priority",
+        expr("parse_url(image_id, 'HOST')").as("host"))
+    val labels = GraphOps.connectedComponents(
+      phashNearDup(survivors, "image_id", "phash", maxDist = 3)
+        .select($"img_a", $"img_b"))
+      .withColumnRenamed("node", "image_id")
+    val canonical = survivors.join(labels, Seq("image_id"), "left")
+      .where($"lbl".isNull || $"lbl" === $"image_id")
+    val capped = canonical
+      .withColumn("host_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"host").orderBy($"priority".desc, $"image_id")))
+      .where($"host_rank" <= CurateHostCap)
+      .select($"image_id", $"host", $"w", $"h", $"phash", $"host_rank")
+      .orderBy($"image_id")
+    materializeAndClean(capped, out)
+  }
+
   /** Pin a small result in driver memory, then delete the crawl's temp
     * payload dir (≈MBs per smoke query; judge r3 nit — Bench cleans up, so
     * must these). The returned frame preserves row order and schema.

@@ -157,6 +157,74 @@ class StreamingAndPhashSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "synthetic phash groups must yield near-dup pairs")
   }
 
+  test("curate_images ≡ an independent recomputation of the full funnel " +
+      "(decode gate, size/aspect, union-find canonicals, per-host cap)") {
+    import graft.core.{CorpusSpec, CrawlConfig}
+    import graft.engine.CrawlEngine
+    // independent reference: rerun the SAME deterministic crawl, then redo
+    // every stage with plain JVM code (ImageIO, brute pairs, union-find,
+    // sort) — no Spark operators shared with the implementation
+    val spec = CorpusSpec(numHosts = 5, pagesPerHost = 25)
+    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10, numBuckets = 8)
+    val out = java.nio.file.Files.createTempDirectory("curate-ref").toString
+    val res = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, out)
+    case class Img(id: String, host: String, w: Int, h: Int,
+        phash: Long, priority: Double)
+    val fetched = res.fetched(spark)
+      .select("image_id", "bytes", "w", "h", "phash", "priority").collect()
+    val survivors = fetched.flatMap { r =>
+      val (id, bytes) = (r.getString(0), r.getAs[Array[Byte]](1))
+      val (w, h, ph) = (r.getInt(2), r.getInt(3), r.getLong(4))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val decodeOk = img != null && img.getWidth == w && img.getHeight == h
+      val phashOk = graft.core.SynthCorpus.phash64(bytes) == ph
+      val sizeOk = w >= graft.operators.ImageOps.CurateMinEdge &&
+        h >= graft.operators.ImageOps.CurateMinEdge &&
+        math.max(w, h) <= math.min(w, h) * graft.operators.ImageOps.CurateMaxAspect
+      if (decodeOk && phashOk && sizeOk)
+        Some(Img(id, new java.net.URI(id).getHost, w, h, ph,
+          r.getDouble(5)))
+      else None
+    }
+    graft.engine.Fs.deleteLocalDir(new java.io.File(out))
+    assert(survivors.length < fetched.length,
+      "size gate must prune (threshold sits inside the dim distribution)")
+    // union-find over brute hamming<=3 pairs among survivors
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    var pairCount = 0
+    for (a <- survivors; b <- survivors
+         if a.id < b.id && java.lang.Long.bitCount(a.phash ^ b.phash) <= 3) {
+      pairCount += 1
+      val (ra, rb) = (find(a.id), find(b.id))
+      if (ra != rb) {
+        val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+        parent(hi) = lo
+      }
+    }
+    // keeper ⟺ component min (an unpaired id is its own trivial component);
+    // union-by-min-root makes find(id) the component min by induction
+    val canonical = survivors.filter(i => find(i.id) == i.id)
+    val expected = canonical.groupBy(_.host).toSeq.flatMap { case (h, is) =>
+      is.sortBy(i => (-i.priority, i.id))
+        .take(graft.operators.ImageOps.CurateHostCap)
+        .zipWithIndex
+        .map { case (i, k) => (i.id, h, i.w, i.h, i.phash, k + 1) }
+    }.toSet
+    val got = graft.operators.ImageOps.curateImages(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getInt(5))).toSet
+    assert(got == expected,
+      s"funnel drifted: extra=${got -- expected}, missing=${expected -- got}")
+    assert(pairCount > 0, "near-dup stage must be exercised")
+    assert(expected.size < canonical.length || canonical.length < survivors.length,
+      "at least one late stage must prune")
+  }
+
   test("img_phash_clusters matches an independent union-find over the " +
       "verified phash pair graph") {
     val pairs = ImageOps.imgPhashNearDup(spark, dir)
