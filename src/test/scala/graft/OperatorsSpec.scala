@@ -68,7 +68,8 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("oracleSql covers exactly the SQL-expressible queries") {
     val sqlFree = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(sqlFree == Set("crawl_smoke", "crawl_phash_dedup"))
+    assert(sqlFree ==
+      Set("crawl_smoke", "crawl_phash_dedup", "crawl_curate_images"))
   }
 
   test("minhash LSH pairs are verified near-dups (jaccard >= 0.8, a < b)") {
