@@ -327,6 +327,11 @@ object ImageOps {
         greatest($"w", $"h") <= least($"w", $"h") * CurateMaxAspect)
       .select($"image_id", $"w", $"h", $"phash", $"priority",
         expr("parse_url(image_id, 'HOST')").as("host"))
+      // consumed by the pair stage AND the canonical join: lazy-checkpoint
+      // so the decode gate runs ONCE, not once per consumer (same
+      // rationale + reclamation story as phashNearDup's `hashes`); bytes
+      // are already projected away, so the pinned set is ~40 B/row
+      .localCheckpoint(false)
     val labels = GraphOps.connectedComponents(
       phashNearDup(survivors, "image_id", "phash", maxDist = 3)
         .select($"img_a", $"img_b"))
