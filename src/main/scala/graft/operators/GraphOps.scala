@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 /** Distributed graph primitives shared by the dedup operators. */
 object GraphOps {
 
-  /** Hash-min connected components over an undirected pair list (two long
-    * columns). Returns one row per node with `lbl` = min node id in its
-    * component.
+  /** Hash-min connected components over an undirected pair list (two
+    * columns of any orderable id type — long doc/vec ids, string URLs).
+    * Returns one row per node with `lbl` = min node id in its component.
     *
     * Scale shape: iterative hash-min label propagation — per iteration one
     * equi-join of the edge list against the current labels plus a min
@@ -76,4 +76,28 @@ object GraphOps {
         $"cluster_size", ($"node" === $"lbl").as("is_canonical"))
       .orderBy($"cluster_id", col(idName))
   }
+
+  /** DuckDB twin skeleton shared by ALL cluster oracles (text, embedding,
+    * image): given a chain of pair CTEs ending in relation `pairRel` with
+    * id columns (aCol, bCol), compute components via a recursive
+    * min-label-reachability CTE (the recursive UNION dedups states, so it
+    * terminates at the transitive closure) and project the
+    * [[canonicalClusters]] output shape. One skeleton, three call sites —
+    * a fix to the component SQL cannot drift between the oracles.
+    */
+  def componentsSql(pairCtes: String, pairRel: String,
+      aCol: String, bCol: String, idName: String): String =
+    s"""WITH RECURSIVE $pairCtes,
+       |edges AS (SELECT $aCol AS src, $bCol AS dst FROM $pairRel
+       |          UNION ALL SELECT $bCol, $aCol FROM $pairRel),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT c.node AS $idName, c.cluster_id, s.cluster_size,
+       |       c.node = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sz s USING (cluster_id)
+       |ORDER BY cluster_id, $idName""".stripMargin
 }

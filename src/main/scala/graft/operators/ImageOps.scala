@@ -224,24 +224,11 @@ object ImageOps {
       imgPhashNearDup(spark, dir).select($"img_a", $"img_b"), "img_id")
   }
 
-  /** DuckDB twin: the SAME pair CTEs, components via a recursive
-    * min-label-reachability CTE (the recursive UNION dedups states, so it
-    * terminates at the transitive closure).
+  /** DuckDB twin: the SAME pair CTEs through the shared component
+    * skeleton ([[GraphOps.componentsSql]]).
     */
   val imgPhashClustersSql: String =
-    s"""WITH RECURSIVE $phashPairCtes,
-       |edges AS (SELECT img_a AS src, img_b AS dst FROM ip
-       |          UNION ALL SELECT img_b, img_a FROM ip),
-       |reach(node, lbl) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node),
-       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
-       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
-       |SELECT c.node AS img_id, c.cluster_id, s.cluster_size,
-       |       c.node = c.cluster_id AS is_canonical
-       |FROM comp c JOIN sz s USING (cluster_id)
-       |ORDER BY cluster_id, img_id""".stripMargin
+    GraphOps.componentsSql(phashPairCtes, "ip", "img_a", "img_b", "img_id")
 
   /** End-to-end crawl smoke query for the driver's rows-only gate: run a
     * small deterministic crawl, then validate every fetched binary payload
@@ -305,24 +292,43 @@ object ImageOps {
     *   4. per-host diversity cap: top-[[CurateHostCap]] per host by
     *      (priority desc, image_id) — deterministic under parallelism.
     *
-    * Scale shape: stages 1–2 are per-partition projections (bytes never
-    * shuffle); stage 3 shuffles only ids+hashes (16 B/row) with the skew-
-    * capped candidate join; stage 4 is one hash-partitioned window on the
-    * host key whose per-host state is the top-K heap. Rows-only driver gate
-    * (crawl-backed binary payloads); the ScalaTest recomputes every stage
-    * independently (ImageIO decode, brute pairs, union-find, host sort).
+    * Scale shape: stages 0–2 decode and project per partition BEFORE any
+    * exchange, so binary payloads never cross a shuffle; stage 3 shuffles
+    * only id+hash rows (8 B hash + the id — ~50 B/row for URL ids) into
+    * the skew-capped candidate join; stage 4 is one hash-partitioned
+    * window on the host key whose per-host state is the top-K heap.
+    * Rows-only driver gate (crawl-backed binary payloads); the ScalaTest
+    * recomputes every stage independently (ImageIO decode, brute pairs,
+    * union-find, host sort) over a TTL-refetching crawl.
     */
-  def curateImages(spark: SparkSession, dir: String): DataFrame = {
+  def curateImages(spark: SparkSession, dir: String): DataFrame =
+    curateImagesOver(spark,
+      CorpusSpec(numHosts = 5, pagesPerHost = 25),
+      CrawlConfig(maxResults = 60, maxRounds = 10, numBuckets = 8))
+
+  /** [[curateImages]] over an explicit corpus + config (the funnel test
+    * runs it with `ttlRounds > 0` so the newest-fetch-wins stage is
+    * genuinely exercised).
+    */
+  def curateImagesOver(
+      spark: SparkSession, spec: CorpusSpec, cfg: CrawlConfig): DataFrame = {
     import spark.implicits._
-    val spec = CorpusSpec(numHosts = 5, pagesPerHost = 25)
-    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10, numBuckets = 8)
     val out = java.nio.file.Files.createTempDirectory("curate-images").toString
     val res = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, out)
+    // stage 0 — TTL dedup: a refetched URL has one fetched row PER ROUND;
+    // curation judges only the newest fetch of each image (the same
+    // newest-round-wins window as CrawlResult.lookup). The window runs on
+    // the narrow post-decode projection — bytes are already gone.
+    val newestWin = org.apache.spark.sql.expressions.Window
+      .partitionBy($"image_id").orderBy($"round".desc)
     val survivors = res.fetched(spark)
       .withColumn("dec", decodeDims($"bytes"))
       .withColumn("phash2", phashOfBytes($"bytes"))
-      .where($"dec._3" && $"dec._1" === $"w" && $"dec._2" === $"h" &&
-        $"phash2" === $"phash")
+      .select($"image_id", $"w", $"h", $"phash", $"priority", $"round",
+        ($"dec._3" && $"dec._1" === $"w" && $"dec._2" === $"h" &&
+          $"phash2" === $"phash").as("decode_ok"))
+      .withColumn("rn", row_number().over(newestWin)).where($"rn" === 1)
+      .where($"decode_ok")
       .where($"w" >= CurateMinEdge && $"h" >= CurateMinEdge &&
         greatest($"w", $"h") <= least($"w", $"h") * CurateMaxAspect)
       .select($"image_id", $"w", $"h", $"phash", $"priority",
@@ -330,7 +336,7 @@ object ImageOps {
       // consumed by the pair stage AND the canonical join: lazy-checkpoint
       // so the decode gate runs ONCE, not once per consumer (same
       // rationale + reclamation story as phashNearDup's `hashes`); bytes
-      // are already projected away, so the pinned set is ~40 B/row
+      // are already projected away, so the pinned set is ~50 B/row
       .localCheckpoint(false)
     val labels = GraphOps.connectedComponents(
       phashNearDup(survivors, "image_id", "phash", maxDist = 3)

@@ -182,24 +182,11 @@ object TextOps {
     GraphOps.canonicalClusters(lshPairs(dir).select($"doc_a", $"doc_b"), "doc_id")
   }
 
-  /** DuckDB twin: the SAME pair CTEs, components via a recursive
-    * min-label-reachability CTE (the recursive UNION dedups states, so it
-    * terminates at the transitive closure).
+  /** DuckDB twin: the SAME pair CTEs through the shared component
+    * skeleton ([[GraphOps.componentsSql]]).
     */
   val neardupClustersSql: String =
-    s"""WITH RECURSIVE $lshPairCtes,
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(node, lbl) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node),
-       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
-       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
-       |SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
-       |       c.node = c.cluster_id AS is_canonical
-       |FROM comp c JOIN sz s USING (cluster_id)
-       |ORDER BY cluster_id, doc_id""".stripMargin
+    GraphOps.componentsSql(lshPairCtes, "pairs", "doc_a", "doc_b", "doc_id")
 
   /** 32-bit SimHash over distinct tokens: per-bit weighted vote of md5 token
     * hashes (bit j extracted from hex nibble j/4).

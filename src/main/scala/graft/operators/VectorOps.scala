@@ -248,24 +248,11 @@ object VectorOps {
       embedNearDup(spark, dir).select($"vec_a", $"vec_b"), "vec_id")
   }
 
-  /** DuckDB twin: the SAME pair CTEs, components via a recursive
-    * min-label-reachability CTE (the recursive UNION dedups states, so it
-    * terminates at the transitive closure).
+  /** DuckDB twin: the SAME pair CTEs through the shared component
+    * skeleton ([[GraphOps.componentsSql]]).
     */
   val embedNearDupClustersSql: String =
-    s"""WITH RECURSIVE $nearDupPairCtes,
-       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM vp
-       |          UNION ALL SELECT vec_b, vec_a FROM vp),
-       |reach(node, lbl) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node),
-       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
-       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
-       |SELECT c.node AS vec_id, c.cluster_id, s.cluster_size,
-       |       c.node = c.cluster_id AS is_canonical
-       |FROM comp c JOIN sz s USING (cluster_id)
-       |ORDER BY cluster_id, vec_id""".stripMargin
+    GraphOps.componentsSql(nearDupPairCtes, "vp", "vec_a", "vec_b", "vec_id")
 
   /** ANN LSH parameters: [[AnnTables]] hash tables; bits per table GROW
     * WITH log N ([[annBits]]: ~16 vectors per bucket, clamped [4,16]) so

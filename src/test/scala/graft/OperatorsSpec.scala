@@ -329,21 +329,8 @@ class OperatorsSpec extends AnyFunSuite {
     // DuckDB-hash-matched) LSH operator
     val pairs = graft.operators.TextOps.dedupMinhashLsh(spark, dir)
       .select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val root = nodes.map(n => n -> find(n)).toMap
-    val sizes = root.values.groupBy(identity).map { case (k, v) => k -> v.size }
-    val expected = nodes.map(n =>
-      (n, root(n), sizes(root(n)).toLong, n == root(n))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = TestGraph.canonicalClusters(pairs)
     val got = graft.operators.TextOps.neardupClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
       .toSet
@@ -352,7 +339,8 @@ class OperatorsSpec extends AnyFunSuite {
     // a component of size >= 3 forces label propagation past one hop, so the
     // iterative fixpoint (not just the seed join) is what's being verified
     assert(expected.exists(_._3 >= 3), "no multi-hop component in corpus")
-    assert(expected.count(_._4) == sizes.size, "one canonical per cluster")
+    assert(expected.count(_._4) == expected.map(_._2).size,
+      "one canonical per cluster")
   }
 
   test("connectedComponents converges on a planted deep chain and enforces " +

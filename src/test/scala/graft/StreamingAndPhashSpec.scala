@@ -163,16 +163,24 @@ class StreamingAndPhashSpec extends AnyFunSuite {
     import graft.engine.CrawlEngine
     // independent reference: rerun the SAME deterministic crawl, then redo
     // every stage with plain JVM code (ImageIO, brute pairs, union-find,
-    // sort) — no Spark operators shared with the implementation
+    // sort) — no Spark operators shared with the implementation.
+    // ttlRounds = 3 makes early fetches expire and refetch within the 10
+    // rounds, so the newest-round-wins TTL dedup stage is really exercised
     val spec = CorpusSpec(numHosts = 5, pagesPerHost = 25)
-    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10, numBuckets = 8)
+    val cfg = CrawlConfig(maxResults = 60, maxRounds = 10, numBuckets = 8,
+      ttlRounds = 3)
     val out = java.nio.file.Files.createTempDirectory("curate-ref").toString
     val res = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, out)
     case class Img(id: String, host: String, w: Int, h: Int,
         phash: Long, priority: Double)
     val fetched = res.fetched(spark)
-      .select("image_id", "bytes", "w", "h", "phash", "priority").collect()
-    val survivors = fetched.flatMap { r =>
+      .select("image_id", "bytes", "w", "h", "phash", "priority", "round")
+      .collect()
+    assert(fetched.map(_.getString(0)).distinct.length < fetched.length,
+      "TTL config must produce refetched (duplicate-id) rows")
+    val newest = fetched.groupBy(_.getString(0)).values
+      .map(_.maxBy(_.getInt(6))).toArray
+    val survivors = newest.flatMap { r =>
       val (id, bytes) = (r.getString(0), r.getAs[Array[Byte]](1))
       val (w, h, ph) = (r.getInt(2), r.getInt(3), r.getLong(4))
       val img = javax.imageio.ImageIO.read(
@@ -188,39 +196,29 @@ class StreamingAndPhashSpec extends AnyFunSuite {
       else None
     }
     graft.engine.Fs.deleteLocalDir(new java.io.File(out))
-    assert(survivors.length < fetched.length,
+    assert(survivors.length < newest.length,
       "size gate must prune (threshold sits inside the dim distribution)")
-    // union-find over brute hamming<=3 pairs among survivors
-    val parent = scala.collection.mutable.Map[String, String]()
-    def find(x: String): String = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    var pairCount = 0
-    for (a <- survivors; b <- survivors
-         if a.id < b.id && java.lang.Long.bitCount(a.phash ^ b.phash) <= 3) {
-      pairCount += 1
-      val (ra, rb) = (find(a.id), find(b.id))
-      if (ra != rb) {
-        val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
-        parent(hi) = lo
-      }
-    }
-    // keeper ⟺ component min (an unpaired id is its own trivial component);
-    // union-by-min-root makes find(id) the component min by induction
-    val canonical = survivors.filter(i => find(i.id) == i.id)
+    // components over brute hamming<=3 pairs among survivors
+    val pairs = for {
+      a <- survivors.toSeq; b <- survivors.toSeq
+      if a.id < b.id && java.lang.Long.bitCount(a.phash ^ b.phash) <= 3
+    } yield (a.id, b.id)
+    val comp = TestGraph.components(pairs)
+    // keeper ⟺ component min (an unpaired id is its own trivial component)
+    val canonical = survivors.filter(i => comp.getOrElse(i.id, i.id) == i.id)
     val expected = canonical.groupBy(_.host).toSeq.flatMap { case (h, is) =>
       is.sortBy(i => (-i.priority, i.id))
         .take(graft.operators.ImageOps.CurateHostCap)
         .zipWithIndex
         .map { case (i, k) => (i.id, h, i.w, i.h, i.phash, k + 1) }
     }.toSet
-    val got = graft.operators.ImageOps.curateImages(spark, dir).collect()
+    val got = graft.operators.ImageOps.curateImagesOver(spark, spec, cfg)
+      .collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
         r.getLong(4), r.getInt(5))).toSet
     assert(got == expected,
       s"funnel drifted: extra=${got -- expected}, missing=${expected -- got}")
-    assert(pairCount > 0, "near-dup stage must be exercised")
+    assert(pairs.nonEmpty, "near-dup stage must be exercised")
     assert(expected.size < canonical.length || canonical.length < survivors.length,
       "at least one late stage must prune")
   }
@@ -228,21 +226,8 @@ class StreamingAndPhashSpec extends AnyFunSuite {
   test("img_phash_clusters matches an independent union-find over the " +
       "verified phash pair graph") {
     val pairs = ImageOps.imgPhashNearDup(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val root = nodes.map(n => n -> find(n)).toMap
-    val sizes = root.values.groupBy(identity).map { case (k, v) => k -> v.size }
-    val expected = nodes.map(n =>
-      (n, root(n), sizes(root(n)).toLong, n == root(n))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = TestGraph.canonicalClusters(pairs)
     val got = ImageOps.imgPhashClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
       .toSet

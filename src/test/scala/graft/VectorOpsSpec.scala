@@ -312,21 +312,8 @@ class VectorOpsSpec extends AnyFunSuite {
       "verified cosine pair graph") {
     val pairs = VectorOps.embedNearDup(spark, dir)
       .select("vec_a", "vec_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val root = nodes.map(n => n -> find(n)).toMap
-    val sizes = root.values.groupBy(identity).map { case (k, v) => k -> v.size }
-    val expected = nodes.map(n =>
-      (n, root(n), sizes(root(n)).toLong, n == root(n))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = TestGraph.canonicalClusters(pairs)
     val got = VectorOps.embedNearDupClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
       .toSet
