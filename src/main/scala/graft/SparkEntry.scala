@@ -49,6 +49,7 @@ object SparkEntry {
     "text_repetition" -> (T.textRepetition _),
     "neardup_clusters" -> (T.neardupClusters _),
     "corpus_mixture" -> (T.corpusMixture _),
+    "dedup_spans" -> (T.dedupSpans _),
     "embed_neardup_clusters" -> (V.embedNearDupClusters _),
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "text_repetition" -> T.textRepetitionSql,
     "neardup_clusters" -> T.neardupClustersSql,
     "corpus_mixture" -> T.corpusMixtureSql,
+    "dedup_spans" -> T.dedupSpansSql,
     "embed_neardup_clusters" -> V.embedNearDupClustersSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,

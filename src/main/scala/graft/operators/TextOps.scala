@@ -592,6 +592,71 @@ object TextOps {
       |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Span width (whitespace tokens) for cross-document substring dedup —
+    * the scaled-down analog of the ~50-BPE-token window of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better".
+    */
+  private val SpanW = 16
+
+  /** Cross-document EXACT substring (span) dedup: for every document, how
+    * many of its [[SpanW]]-token rolling windows also appear verbatim in
+    * at least one OTHER document (duplicated boilerplate/templates that
+    * doc-level and near-dup dedup both miss), as integer counts plus a
+    * basis-point share. A removal pipeline drops or rewrites exactly those
+    * spans; this operator is the marking stage.
+    *
+    * Scale shape — the canonical substring-dedup plan: one narrow scan
+    * projection builds the rolling window hashes INSIDE the row (no
+    * token explode), then the only wide ops are a groupBy on the span
+    * hash (map-side combinable; the distinct-doc test needs only the
+    * 2-distinct threshold, not a full count) and a hash re-join of the
+    * gram stream against the duplicated subset. md5 hex keys here because
+    * the DuckDB twin must derive byte-identical hashes; a 100 TB run
+    * swaps them for xxhash64 (8-byte shuffle keys, same plan) exactly as
+    * the MinHash band keys already do.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val grams = docs(dir)
+      .select($"doc_id",
+        split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ").as("w"))
+      .where(size($"w") >= SpanW)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(w) - $SpanW), i -> md5(concat_ws(' ', slice(w, i + 1, $SpanW))))"))
+        .as("g"))
+    val dupG = grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .where($"nd" >= 2)
+      .select($"g", lit(1L).as("isdup"))
+    grams.join(dupG, Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("total_spans"),
+        sum(coalesce($"isdup", lit(0L))).as("dup_spans"))
+      .withColumn("dup_bp", expr("(dup_spans * 10000) div total_spans"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin: identical normalization, identical md5-of-joined-window
+    * hashes, identical ≥ 2-distinct-docs duplicate test, integer division.
+    */
+  val dedupSpansSql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, md5(array_to_string(w[i+1:i+$SpanW], ' ')) AS g
+       |  FROM norm, UNNEST(range(0, len(w) - ${SpanW - 1})) t(i)
+       |  WHERE len(w) >= $SpanW),
+       |d AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS total_spans,
+       |  CAST(count(*) FILTER (WHERE g IN (SELECT g FROM d)) AS BIGINT) AS dup_spans,
+       |  (CAST(count(*) FILTER (WHERE g IN (SELECT g FROM d)) AS BIGINT) * 10000)
+       |    // CAST(count(*) AS BIGINT) AS dup_bp
+       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-language corpus mixture statistics: doc count, total whitespace
     * tokens, exact interpolated p50/p90 token counts, and a deterministic
     * uniform-mixture resampling weight in integer basis points

@@ -66,6 +66,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"unexpected join:\n$plan")
   }
 
+  test("dedup_spans matches an independent rolling-window md5 reference; " +
+      "cross-doc duplicated spans exist and unique docs score zero") {
+    import spark.implicits._
+    val W = 16
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)))
+      .filter(_._2.length >= W)
+    val grams = docs.flatMap { case (id, w) =>
+      (0 to w.length - W).map(i => (id, md5hex(w.slice(i, i + W).mkString(" "))))
+    }
+    val dup = grams.groupBy(_._2)
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = grams.groupBy(_._1).map { case (id, gs) =>
+      val d = gs.count(g => dup(g._2)).toLong
+      (id, gs.length.toLong, d, d * 10000 / gs.length)
+    }.toSet
+    val got = graft.operators.TextOps.dedupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"span profile drifted: extra=${got -- expected}, missing=${expected -- got}")
+    assert(expected.exists(_._3 > 0), "no cross-doc duplicated span found")
+    assert(expected.exists(_._3 == 0), "no span-unique doc found")
+  }
+
   test("oracleSql covers exactly the SQL-expressible queries") {
     val sqlFree = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(sqlFree ==
