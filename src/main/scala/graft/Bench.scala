@@ -273,7 +273,8 @@ object Bench {
       "img_phash_neardup", "audio_features", "video_frames",
       "sample_stratified", "decontaminate", "curate_corpus",
       "text_repetition", "neardup_clusters", "embed_neardup_clusters",
-      "img_phash_clusters", "corpus_mixture", "dedup_spans")
+      "img_phash_clusters", "corpus_mixture", "dedup_spans",
+      "text_familiarity")
     try SparkEntry.queries("q_topk")(spark, sfDir).count() // session warmup
     catch { case _: Throwable => () }
     // raw hardware probe BRACKETING the query block (r4 verdict "What's

@@ -50,6 +50,7 @@ object SparkEntry {
     "neardup_clusters" -> (T.neardupClusters _),
     "corpus_mixture" -> (T.corpusMixture _),
     "dedup_spans" -> (T.dedupSpans _),
+    "text_familiarity" -> (T.textFamiliarity _),
     "embed_neardup_clusters" -> (V.embedNearDupClusters _),
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "neardup_clusters" -> T.neardupClustersSql,
     "corpus_mixture" -> T.corpusMixtureSql,
     "dedup_spans" -> T.dedupSpansSql,
+    "text_familiarity" -> T.textFamiliaritySql,
     "embed_neardup_clusters" -> V.embedNearDupClustersSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,

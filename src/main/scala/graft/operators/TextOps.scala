@@ -657,6 +657,61 @@ object TextOps {
        |    // CAST(count(*) AS BIGINT) AS dup_bp
        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus-statistical quality filter — the CCNet-family unigram-LM
+    * proxy, integer-arithmetized: `fam_ppm` is the mean corpus frequency
+    * of a document's tokens, in parts-per-million of the corpus token
+    * count (exact integer division, so the oracle matches bit-for-bit —
+    * the rank-free stand-in for the LM log-prob that real pipelines
+    * threshold on). Documents of common fluent words score high;
+    * rare-token/gibberish documents score low — complementary to
+    * [[textQuality]]'s intra-document shape features because the signal
+    * here is a CORPUS statistic.
+    *
+    * Scale shape — aggregate-then-broadcast-back: one token-keyed groupBy
+    * builds the unigram table (map-side combinable; vocabulary is bounded
+    * ≪ corpus so the result broadcasts even at 100 TB), occurrences join
+    * it as a BroadcastHashJoin (no shuffle of the occurrence stream beyond
+    * the final doc_id groupBy), and the corpus total rides in as a one-row
+    * broadcast exactly like the IVF centroid array.
+    */
+  def textFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val occ = docs(dir)
+      .select($"doc_id",
+        split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ").as("w"))
+      .select($"doc_id", explode($"w").as("t"))
+    val vocab = occ.groupBy($"t").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum($"cnt").as("n_corpus"))
+    occ.join(broadcast(vocab), Seq("t"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"cnt").as("sum_freq"))
+      .crossJoin(broadcast(tot))
+      .withColumn("fam_ppm",
+        expr("(sum_freq * 1000000) div (n_tokens * n_corpus)"))
+      .select($"doc_id", $"n_tokens", $"sum_freq", $"fam_ppm")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin: identical normalization, unigram counts, and integer
+    * ppm arithmetic.
+    */
+  val textFamiliaritySql: String =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |occ AS (SELECT doc_id, unnest(w) AS t FROM norm),
+      |vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY t),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM vocab),
+      |doc AS (
+      |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CAST(sum(v.cnt) AS BIGINT) AS sum_freq
+      |  FROM occ o JOIN vocab v USING (t) GROUP BY o.doc_id)
+      |SELECT doc_id, n_tokens, sum_freq,
+      |  (sum_freq * 1000000) // (n_tokens * n_corpus) AS fam_ppm
+      |FROM doc, tot ORDER BY doc_id""".stripMargin
+
   /** Per-language corpus mixture statistics: doc count, total whitespace
     * tokens, exact interpolated p50/p90 token counts, and a deterministic
     * uniform-mixture resampling weight in integer basis points

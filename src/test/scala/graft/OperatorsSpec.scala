@@ -96,6 +96,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(expected.exists(_._3 == 0), "no span-unique doc found")
   }
 
+  test("text_familiarity matches an independent unigram-count reference; " +
+      "vocab joins by broadcast") {
+    import spark.implicits._
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)))
+    val vocab = toks.flatMap(_._2).groupBy(identity)
+      .map { case (t, o) => t -> o.length.toLong }
+    val nCorpus = vocab.values.sum
+    val expected = toks.map { case (id, w) =>
+      val sumFreq = w.map(vocab).sum
+      (id, w.length.toLong, sumFreq,
+        sumFreq * 1000000L / (w.length * nCorpus))
+    }.toSet
+    val q = graft.operators.TextOps.textFamiliarity(spark, dir)
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"familiarity drifted: extra=${got -- expected}, missing=${expected -- got}")
+    // the score must actually separate documents (corpus statistic, not a
+    // constant), and the vocab join must be a broadcast, not a sort-merge
+    assert(expected.map(_._4).size > 1, "fam_ppm is degenerate")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
   test("oracleSql covers exactly the SQL-expressible queries") {
     val sqlFree = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(sqlFree ==
