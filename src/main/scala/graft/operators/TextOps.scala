@@ -23,6 +23,20 @@ object TextOps {
   private def docs(dir: String)(implicit s: SparkSession): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Pinned normalization shared by every token-level operator: lowercase,
+    * collapse whitespace runs, trim, split on single spaces. ORACLE-PARITY
+    * CRITICAL — this column and the `NormTokensSqlFragment` DuckDB mirror
+    * must stay byte-equivalent: every md5 window/fingerprint hash and every
+    * token count in the twins depends on both sides producing the same
+    * token sequence (a drift-guard test pins the fragment into each twin).
+    */
+  private def normTokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(trim(regexp_replace(lower(c), "\\s+", " ")), " ")
+
+  /** DuckDB mirror of [[normTokens]] over a column named `text`. */
+  val NormTokensSqlFragment: String =
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
   /** Exact dedup via content hash: one row per distinct text, keeper =
     * min(doc_id) (hash-groupBy; map-side combine; no full-text shuffle
     * beyond the digest).
@@ -433,7 +447,7 @@ object TextOps {
     import spark.implicits._
     def grams(df: DataFrame): DataFrame =
       df.select($"doc_id",
-          split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ").as("w"))
+          normTokens($"text").as("w"))
         .where(size($"w") >= 8)
         .select($"doc_id", explode(array_distinct(
           transform(sequence(lit(0), size($"w") - 8),
@@ -465,7 +479,7 @@ object TextOps {
     import spark.implicits._
     docs(dir)
       .select($"doc_id",
-        split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ").as("w"))
+        normTokens($"text").as("w"))
       .where(size($"w") >= 3)
       .select($"doc_id",
         (size($"w") - 2).cast("long").as("trigram_total"),
@@ -598,36 +612,44 @@ object TextOps {
     */
   private val SpanW = 16
 
-  /** Cross-document EXACT substring (span) dedup: for every document, how
-    * many of its [[SpanW]]-token rolling windows also appear verbatim in
-    * at least one OTHER document (duplicated boilerplate/templates that
-    * doc-level and near-dup dedup both miss), as integer counts plus a
-    * basis-point share. A removal pipeline drops or rewrites exactly those
-    * spans; this operator is the marking stage.
+  /** Cross-document EXACT substring (span) dedup: for every document long
+    * enough to hold a window (≥ [[SpanW]] tokens — shorter docs have no
+    * spans and are omitted, like `text_repetition`'s ≥ 3 floor; join the
+    * marking output back LEFT so they read as 0), how many of its
+    * [[SpanW]]-token rolling windows also appear verbatim in at least one
+    * OTHER document (duplicated boilerplate/templates that doc-level and
+    * near-dup dedup both miss), as integer counts plus a basis-point
+    * share. A removal pipeline drops or rewrites exactly those spans;
+    * this operator is the marking stage.
     *
     * Scale shape — the canonical substring-dedup plan: one narrow scan
-    * projection builds the rolling window hashes INSIDE the row (no
-    * token explode), then the only wide ops are a groupBy on the span
-    * hash (map-side combinable; the distinct-doc test needs only the
-    * 2-distinct threshold, not a full count) and a hash re-join of the
-    * gram stream against the duplicated subset. md5 hex keys here because
-    * the DuckDB twin must derive byte-identical hashes; a 100 TB run
-    * swaps them for xxhash64 (8-byte shuffle keys, same plan) exactly as
-    * the MinHash band keys already do.
+    * projection builds the rolling window hashes INSIDE the row (no token
+    * explode), materialized ONCE (lazy localCheckpoint — the gram stream
+    * feeds both the duplicate aggregate and the marking re-join, and
+    * recomputing it would run the corpus scan + every window md5 twice;
+    * same reclamation story as phashNearDup's `hashes`). The wide ops are
+    * a groupBy on the span hash — fully map-side combinable because the
+    * ≥ 2-distinct-docs test only needs min(doc_id) ≠ max(doc_id), never a
+    * distinct count — and a hash re-join of the gram stream against the
+    * duplicated subset. md5 hex keys here because the DuckDB twin must
+    * derive byte-identical hashes; a 100 TB run swaps them for xxhash64
+    * (8-byte shuffle keys, same plan) exactly as the MinHash band keys
+    * already do.
     */
   def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
     val grams = docs(dir)
       .select($"doc_id",
-        split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ").as("w"))
+        normTokens($"text").as("w"))
       .where(size($"w") >= SpanW)
       .select($"doc_id", explode(expr(
         s"transform(sequence(0, size(w) - $SpanW), i -> md5(concat_ws(' ', slice(w, i + 1, $SpanW))))"))
         .as("g"))
+      .localCheckpoint(false)
     val dupG = grams.groupBy($"g")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .where($"nd" >= 2)
+      .agg(min($"doc_id").as("dmin"), max($"doc_id").as("dmax"))
+      .where($"dmin" =!= $"dmax")
       .select($"g", lit(1L).as("isdup"))
     grams.join(dupG, Seq("g"), "left")
       .groupBy($"doc_id")
@@ -649,7 +671,7 @@ object TextOps {
        |  SELECT doc_id, md5(array_to_string(w[i+1:i+$SpanW], ' ')) AS g
        |  FROM norm, UNNEST(range(0, len(w) - ${SpanW - 1})) t(i)
        |  WHERE len(w) >= $SpanW),
-       |d AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+       |d AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id))
        |SELECT doc_id,
        |  CAST(count(*) AS BIGINT) AS total_spans,
        |  CAST(count(*) FILTER (WHERE g IN (SELECT g FROM d)) AS BIGINT) AS dup_spans,
@@ -667,34 +689,43 @@ object TextOps {
     * [[textQuality]]'s intra-document shape features because the signal
     * here is a CORPUS statistic.
     *
-    * Scale shape — aggregate-then-broadcast-back: one token-keyed groupBy
-    * builds the unigram table (map-side combinable; vocabulary is bounded
-    * ≪ corpus so the result broadcasts even at 100 TB), occurrences join
-    * it as a BroadcastHashJoin (no shuffle of the occurrence stream beyond
-    * the final doc_id groupBy), and the corpus total rides in as a one-row
-    * broadcast exactly like the IVF centroid array.
+    * Scale shape: one token-keyed groupBy builds the unigram table
+    * (map-side combinable), the occurrence stream re-joins it on the
+    * token key — the optimizer/AQE picks broadcast when the vocabulary
+    * fits (natural-language vocab is bounded; the plan test asserts the
+    * broadcast at that scale) and falls back to a shuffled hash join on
+    * the heavy-tailed token sets of a raw web corpus (URLs, numbers,
+    * typos run the distinct-token count far past broadcast range) — then
+    * one doc_id groupBy. The corpus total rides in as a one-row broadcast
+    * exactly like the IVF centroid array. The ppm arithmetic runs in
+    * decimal(38): `sum_freq · 10^6` overflows a 64-bit long once corpus
+    * counts pass ~10^13 tokens (exactly the 100 TB design point), and
+    * Spark would wrap where DuckDB errors — int128-family intermediates
+    * keep the twins exact and identical to ~10^31.
     */
   def textFamiliarity(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
     val occ = docs(dir)
       .select($"doc_id",
-        split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ").as("w"))
+        normTokens($"text").as("w"))
       .select($"doc_id", explode($"w").as("t"))
     val vocab = occ.groupBy($"t").agg(count(lit(1)).as("cnt"))
     val tot = vocab.agg(sum($"cnt").as("n_corpus"))
-    occ.join(broadcast(vocab), Seq("t"))
+    occ.join(vocab, Seq("t"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum($"cnt").as("sum_freq"))
       .crossJoin(broadcast(tot))
-      .withColumn("fam_ppm",
-        expr("(sum_freq * 1000000) div (n_tokens * n_corpus)"))
+      .withColumn("fam_ppm", expr(
+        """cast((cast(sum_freq as decimal(38,0)) * 1000000) div
+          |     (cast(n_tokens as decimal(38,0)) * cast(n_corpus as decimal(38,0)))
+          |  as bigint)""".stripMargin))
       .select($"doc_id", $"n_tokens", $"sum_freq", $"fam_ppm")
       .orderBy($"doc_id")
   }
 
-  /** DuckDB twin: identical normalization, unigram counts, and integer
-    * ppm arithmetic.
+  /** DuckDB twin: identical normalization, unigram counts, and exact
+    * integer ppm arithmetic (HUGEINT ≡ the engine's decimal(38) widening).
     */
   val textFamiliaritySql: String =
     """WITH norm AS (
@@ -709,7 +740,8 @@ object TextOps {
       |         CAST(sum(v.cnt) AS BIGINT) AS sum_freq
       |  FROM occ o JOIN vocab v USING (t) GROUP BY o.doc_id)
       |SELECT doc_id, n_tokens, sum_freq,
-      |  (sum_freq * 1000000) // (n_tokens * n_corpus) AS fam_ppm
+      |  CAST((CAST(sum_freq AS HUGEINT) * 1000000)
+      |    // (CAST(n_tokens AS HUGEINT) * CAST(n_corpus AS HUGEINT)) AS BIGINT) AS fam_ppm
       |FROM doc, tot ORDER BY doc_id""".stripMargin
 
   /** Per-language corpus mixture statistics: doc count, total whitespace

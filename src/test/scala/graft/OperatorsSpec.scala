@@ -125,6 +125,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  test("every token-level oracle twin embeds the ONE pinned tokenization " +
+      "fragment (drift guard for md5/count parity)") {
+    import graft.operators.TextOps
+    val twins = Map(
+      "text_repetition" -> TextOps.textRepetitionSql,
+      "decontaminate" -> TextOps.decontaminateSql,
+      "dedup_spans" -> TextOps.dedupSpansSql,
+      "text_familiarity" -> TextOps.textFamiliaritySql)
+    twins.foreach { case (name, sql) =>
+      assert(sql.contains(TextOps.NormTokensSqlFragment),
+        s"$name twin drifted from the pinned tokenization")
+    }
+  }
+
   test("oracleSql covers exactly the SQL-expressible queries") {
     val sqlFree = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(sqlFree ==
