@@ -757,21 +757,30 @@ object TextOps {
     * exact via a per-group value→count map, so aggregate state is
     * O(distinct token counts per language) — bounded (token counts, not
     * tokens) even at 100 TB; a corpus with an unbounded value domain would
-    * swap in `approx_percentile`, same plan. The grand-total window runs
-    * over the O(#languages) aggregate output, not the corpus.
+    * swap in `approx_percentile`, same plan. The grand totals ride in as
+    * a one-row broadcast over the O(#languages) aggregate output — never
+    * a corpus-wide window.
     */
   def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    docs(dir)
+    val byLang = docs(dir)
       .select($"lang", size(split($"text", " ")).cast("bigint").as("n_tokens"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("total_tokens"),
         round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
         round(expr("percentile(n_tokens, 0.9)"), 6).as("p90_tokens"))
+    // grand totals as a one-row broadcast (the textFamiliarity/IVF
+    // pattern) rather than a partition-less window — same values, no
+    // single-partition WindowExec in the plan
+    val tot = byLang.agg(sum($"n_docs").as("all_docs"),
+      count(lit(1)).as("n_langs"))
+    byLang.crossJoin(broadcast(tot))
       .withColumn("weight_bp",
-        expr("cast((10000 * sum(n_docs) over ()) div ((count(1) over ()) * n_docs) as bigint)"))
+        expr("cast((10000 * all_docs) div (n_langs * n_docs) as bigint)"))
+      .select($"lang", $"n_docs", $"total_tokens", $"p50_tokens",
+        $"p90_tokens", $"weight_bp")
       .orderBy($"lang")
   }
 

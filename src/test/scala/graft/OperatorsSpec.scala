@@ -59,11 +59,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected,
       s"mixture drifted: extra=${got -- expected}, missing=${expected -- got}")
     assert(expected.size >= 2, "corpus should span multiple languages")
-    // plan shape: no join anywhere; the corpus-wide aggregate is grouped
-    // (partial map-side combine), not a driver-side collect
+    // plan shape: the only join is the intentional one-row broadcast of
+    // the grand totals (BroadcastNestedLoopJoin over O(#languages) rows);
+    // no shuffle join, no partition-less window
     val plan = graft.operators.TextOps.corpusMixture(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"unexpected shuffle join:\n$plan")
+    assert(!plan.contains("Window"), s"partition-less window crept back:\n$plan")
   }
 
   test("dedup_spans matches an independent rolling-window md5 reference; " +
