@@ -90,11 +90,17 @@ class OperatorsSpec extends AnyFunSuite {
       val d = gs.count(g => dup(g._2)).toLong
       (id, gs.length.toLong, d, d * 10000 / gs.length)
     }.toSet
-    val got = graft.operators.TextOps.dedupSpans(spark, dir).collect()
+    val q = graft.operators.TextOps.dedupSpans(spark, dir)
+    val got = q.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(got == expected,
       s"span profile drifted: extra=${got -- expected}, missing=${expected -- got}")
+    // the dup test is min/max (combinable) — the plan must carry no
+    // distinct-expand and no cartesian
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+    assert(!plan.contains("Expand"), s"distinct-style expand crept in:\n$plan")
     assert(expected.exists(_._3 > 0), "no cross-doc duplicated span found")
     assert(expected.exists(_._3 == 0), "no span-unique doc found")
   }
