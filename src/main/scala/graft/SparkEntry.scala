@@ -51,6 +51,7 @@ object SparkEntry {
     "corpus_mixture" -> (T.corpusMixture _),
     "dedup_spans" -> (T.dedupSpans _),
     "text_familiarity" -> (T.textFamiliarity _),
+    "text_pii" -> (T.textPii _),
     "embed_neardup_clusters" -> (V.embedNearDupClusters _),
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "corpus_mixture" -> T.corpusMixtureSql,
     "dedup_spans" -> T.dedupSpansSql,
     "text_familiarity" -> T.textFamiliaritySql,
+    "text_pii" -> T.textPiiSql,
     "embed_neardup_clusters" -> V.embedNearDupClustersSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,

@@ -798,4 +798,102 @@ object TextOps {
       |SELECT lang, n_docs, total_tokens, p50_tokens, p90_tokens,
       |  CAST((10000 * sum(n_docs) OVER ()) // ((count(*) OVER ()) * n_docs) AS BIGINT) AS weight_bp
       |FROM g ORDER BY lang""".stripMargin
+
+  /** PII patterns for [[textPii]] — deliberately restricted to the regex
+    * subset where Java (Spark) and RE2 (DuckDB) agree exactly: character
+    * classes, counted repetition, `\b`, greedy leftmost-first matching; no
+    * backreferences, no lookaround (RE2 has neither). Both engines scan
+    * the same text with the same pattern, so counts and replacement sites
+    * are bit-identical.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\+1 \\d{3} \\d{3} \\d{4}"
+
+  /** PII detection + redaction — the scrub stage every public-web training
+    * pipeline runs before release (C4 strips lines by blocklist; the
+    * RefinedWeb/FineWeb lineage regex-redacts emails / phone numbers / IP
+    * addresses in place). Per document: match counts per PII class, the
+    * total, and the md5 of the redacted text (emails → `<EMAIL>`, then
+    * IPv4 → `<IP>`, then phones → `<PHONE>` — IPs redact before phones so
+    * a digit-run pattern can never bite inside an address).
+    *
+    * The synthetic corpus carries no PII, so the query derives its input
+    * deterministically: doc_id-keyed email / phone / IPv4 fragments are
+    * appended to `text` by ARITHMETIC shared with the DuckDB twin (the
+    * MediaOps recipe: the twin regenerates the same payload, so a hash
+    * match proves the regex scan + redaction, not the generator). On a
+    * real corpus the operator is the same projection applied to the raw
+    * text column.
+    *
+    * Scale shape: pure per-row projection — one scan, zero shuffle,
+    * whole-stage codegen; linear at 100 TB and embarrassingly partition-
+    * parallel. Redacted text leaves the stage as a 16-byte digest, never
+    * a second copy of the corpus.
+    */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val ptext = concat(
+      $"text",
+      when(pmod($"doc_id", lit(3)) === 0,
+        concat(lit(" contact user"), $"doc_id".cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(pmod($"doc_id", lit(5)) === 0,
+        concat(lit(" call +1 415 555 "),
+          lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(7)) === 0,
+        concat(lit(" from 10.0."), pmod($"doc_id", lit(256)).cast("string"),
+          lit("."), pmod($"doc_id" * 7, lit(256)).cast("string")))
+        .otherwise(lit("")))
+    docs(dir)
+      .select($"doc_id", ptext.as("ptext"))
+      .select($"doc_id",
+        regexp_count($"ptext", lit(PiiEmailRe)).cast("bigint").as("n_email"),
+        regexp_count($"ptext", lit(PiiPhoneRe)).cast("bigint").as("n_phone"),
+        regexp_count($"ptext", lit(PiiIpv4Re)).cast("bigint").as("n_ipv4"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace($"ptext", PiiEmailRe, "<EMAIL>"),
+            PiiIpv4Re, "<IP>"),
+          PiiPhoneRe, "<PHONE>")).as("redacted_md5"))
+      .withColumn("pii_total", $"n_email" + $"n_phone" + $"n_ipv4")
+      .select($"doc_id", $"n_email", $"n_phone", $"n_ipv4", $"pii_total",
+        $"redacted_md5")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin: same arithmetic injection, same RE2∩Java patterns, same
+    * email → IP → phone redaction order ('g' flag — Spark replaces all by
+    * default).
+    */
+  val textPiiSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0
+      |         THEN ' call +1 415 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      |              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      |         ELSE '' END AS ptext
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |    CAST(len(regexp_extract_all(ptext, '\+1 \d{3} \d{3} \d{4}')) AS BIGINT) AS n_phone,
+      |    CAST(len(regexp_extract_all(ptext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+      |    md5(regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\+1 \d{3} \d{3} \d{4}', '<PHONE>', 'g')) AS redacted_md5
+      |  FROM p)
+      |SELECT doc_id, n_email, n_phone, n_ipv4,
+      |  n_email + n_phone + n_ipv4 AS pii_total, redacted_md5
+      |FROM c ORDER BY doc_id""".stripMargin
 }

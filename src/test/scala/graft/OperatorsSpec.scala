@@ -134,6 +134,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  test("text_pii matches an independent java.util.regex reference " +
+      "(counts + redacted digest) and plans as a pure projection") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").collect().map { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        // independent injection: plain Scala string building, no SQL
+        val ptext = text +
+          (if (id % 3 == 0) s" contact user$id@example.com" else "") +
+          (if (id % 5 == 0) f" call +1 415 555 ${id % 10000}%04d" else "") +
+          (if (id % 7 == 0) s" from 10.0.${id % 256}.${id * 7 % 256}" else "")
+        def count(re: String) =
+          re.r.findAllMatchIn(ptext).length.toLong
+        val ne = count(TextOps.PiiEmailRe)
+        val np = count(TextOps.PiiPhoneRe)
+        val ni = count(TextOps.PiiIpv4Re)
+        val redacted = ptext
+          .replaceAll(TextOps.PiiEmailRe, "<EMAIL>")
+          .replaceAll(TextOps.PiiIpv4Re, "<IP>")
+          .replaceAll(TextOps.PiiPhoneRe, "<PHONE>")
+        (id, ne, np, ni, ne + np + ni, md5hex(redacted))
+      }.toSet
+    val q = graft.operators.TextOps.textPii(spark, dir)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    assert(got == expected,
+      s"pii profile drifted: extra=${got -- expected}, missing=${expected -- got}")
+    // the gate must bite: every class matched somewhere, and some doc is
+    // PII-free (so redaction is not a constant rewrite)
+    assert(expected.exists(_._2 > 0) && expected.exists(_._3 > 0) &&
+      expected.exists(_._4 > 0), "an injected PII class never matched")
+    assert(expected.exists(_._5 == 0), "no PII-free doc found")
+    // scale shape: per-row projection only — no join, no aggregate
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"unexpected aggregate:\n$plan")
+  }
+
   test("every token-level oracle twin embeds the ONE pinned tokenization " +
       "fragment (drift guard for md5/count parity)") {
     import graft.operators.TextOps
