@@ -33,9 +33,16 @@ object TextOps {
   private def normTokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     split(trim(regexp_replace(lower(c), "\\s+", " ")), " ")
 
+  /** DuckDB mirror of the normalization CORE (lowercase, collapse
+    * whitespace, trim) over a column named `text` — the fragment the
+    * string-level twins (dedup_exact, curate_corpus) embed directly.
+    */
+  val NormTextSqlFragment: String =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
   /** DuckDB mirror of [[normTokens]] over a column named `text`. */
   val NormTokensSqlFragment: String =
-    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    s"string_split($NormTextSqlFragment, ' ')"
 
   /** Exact dedup via content hash: one row per distinct text, keeper =
     * min(doc_id) (hash-groupBy; map-side combine; no full-text shuffle
@@ -807,16 +814,25 @@ object TextOps {
     * are bit-identical.
     */
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PiiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  /** Valid-octet IPv4 (0–255 per field, no leading-zero requirement). One
+    * documented laxity shared with production scrubbers: a dotted run
+    * longer than four octets ("10.20.30.40.50") redacts its four-octet
+    * prefix — excluding it needs lookahead, which RE2 lacks.
+    */
+  val PiiIpv4Re = s"\\b$Octet(\\.$Octet){3}\\b"
   val PiiPhoneRe = "\\+1 \\d{3} \\d{3} \\d{4}"
 
   /** PII detection + redaction — the scrub stage every public-web training
     * pipeline runs before release (C4 strips lines by blocklist; the
     * RefinedWeb/FineWeb lineage regex-redacts emails / phone numbers / IP
-    * addresses in place). Per document: match counts per PII class, the
-    * total, and the md5 of the redacted text (emails → `<EMAIL>`, then
-    * IPv4 → `<IP>`, then phones → `<PHONE>` — IPs redact before phones so
-    * a digit-run pattern can never bite inside an address).
+    * addresses in place). Per document: REDACTION counts per PII class,
+    * the total, and the md5 of the redacted text. Redaction is sequential
+    * with precedence email → IPv4 → phone, and each class is counted on
+    * the text AFTER the higher-precedence classes redacted — so the counts
+    * are exactly the substitutions performed, and an overlap (an IP inside
+    * an email's host part) is attributed once, to the winning class, never
+    * double-counted.
     *
     * The synthetic corpus carries no PII, so the query derives its input
     * deterministically: doc_id-keyed email / phone / IPv4 fragments are
@@ -849,27 +865,28 @@ object TextOps {
         .otherwise(lit("")))
     docs(dir)
       .select($"doc_id", ptext.as("ptext"))
+      // sequential precedence: each stage's count runs on the PREVIOUS
+      // stage's output, so counts ≡ substitutions performed
+      .withColumn("t1", regexp_replace($"ptext", PiiEmailRe, "<EMAIL>"))
+      .withColumn("t2", regexp_replace($"t1", PiiIpv4Re, "<IP>"))
       .select($"doc_id",
         regexp_count($"ptext", lit(PiiEmailRe)).cast("bigint").as("n_email"),
-        regexp_count($"ptext", lit(PiiPhoneRe)).cast("bigint").as("n_phone"),
-        regexp_count($"ptext", lit(PiiIpv4Re)).cast("bigint").as("n_ipv4"),
-        md5(regexp_replace(
-          regexp_replace(
-            regexp_replace($"ptext", PiiEmailRe, "<EMAIL>"),
-            PiiIpv4Re, "<IP>"),
-          PiiPhoneRe, "<PHONE>")).as("redacted_md5"))
+        regexp_count($"t2", lit(PiiPhoneRe)).cast("bigint").as("n_phone"),
+        regexp_count($"t1", lit(PiiIpv4Re)).cast("bigint").as("n_ipv4"),
+        md5(regexp_replace($"t2", PiiPhoneRe, "<PHONE>")).as("redacted_md5"))
       .withColumn("pii_total", $"n_email" + $"n_phone" + $"n_ipv4")
       .select($"doc_id", $"n_email", $"n_phone", $"n_ipv4", $"pii_total",
         $"redacted_md5")
       .orderBy($"doc_id")
   }
 
-  /** DuckDB twin: same arithmetic injection, same RE2∩Java patterns, same
-    * email → IP → phone redaction order ('g' flag — Spark replaces all by
-    * default).
+  /** DuckDB twin: same arithmetic injection, the patterns INTERPOLATED
+    * from the engine's constants (they cannot drift), same sequential
+    * email → IP → phone stages with counts on the prior stage's output
+    * ('g' flag — Spark replaces all by default).
     */
   val textPiiSql: String =
-    """WITH p AS (
+    s"""WITH p AS (
       |  SELECT doc_id, text
       |    || CASE WHEN doc_id % 3 = 0
       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
@@ -882,17 +899,21 @@ object TextOps {
       |              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
       |         ELSE '' END AS ptext
       |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, ptext,
+      |    regexp_replace(ptext, '$PiiEmailRe', '<EMAIL>', 'g') AS t1
+      |  FROM p),
+      |st2 AS (
+      |  SELECT doc_id, ptext, t1,
+      |    regexp_replace(t1, '$PiiIpv4Re', '<IP>', 'g') AS t2
+      |  FROM st),
       |c AS (
       |  SELECT doc_id,
-      |    CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-      |    CAST(len(regexp_extract_all(ptext, '\+1 \d{3} \d{3} \d{4}')) AS BIGINT) AS n_phone,
-      |    CAST(len(regexp_extract_all(ptext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-      |    md5(regexp_replace(
-      |      regexp_replace(
-      |        regexp_replace(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      |      '\+1 \d{3} \d{3} \d{4}', '<PHONE>', 'g')) AS redacted_md5
-      |  FROM p)
+      |    CAST(len(regexp_extract_all(ptext, '$PiiEmailRe')) AS BIGINT) AS n_email,
+      |    CAST(len(regexp_extract_all(t2, '$PiiPhoneRe')) AS BIGINT) AS n_phone,
+      |    CAST(len(regexp_extract_all(t1, '$PiiIpv4Re')) AS BIGINT) AS n_ipv4,
+      |    md5(regexp_replace(t2, '$PiiPhoneRe', '<PHONE>', 'g')) AS redacted_md5
+      |  FROM st2)
       |SELECT doc_id, n_email, n_phone, n_ipv4,
       |  n_email + n_phone + n_ipv4 AS pii_total, redacted_md5
       |FROM c ORDER BY doc_id""".stripMargin

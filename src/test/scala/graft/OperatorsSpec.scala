@@ -22,6 +22,23 @@ class OperatorsSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Shared reference helpers. Locale.ROOT on the lowercase: Spark's
+    * `lower()` is locale-independent, so a platform-default-locale
+    * String.toLowerCase (tr-TR dotless-ı!) would make the references
+    * diverge from the engine on some hosts.
+    */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** JVM mirror of TextOps.normTokens (the pinned tokenization). */
+  private def refNormTokens(t: String): Array[String] =
+    refNormText(t).split(" ", -1)
+
+  /** JVM mirror of the normalization core (lowercase/collapse/trim). */
+  private def refNormText(t: String): String =
+    t.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
+
   test("every query runs and the SQL-oracled ones return rows") {
     val emptyOk = Set("q_anti_join") // allowed to be empty at tiny SF
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -73,13 +90,10 @@ class OperatorsSpec extends AnyFunSuite {
       "cross-doc duplicated spans exist and unique docs score zero") {
     import spark.implicits._
     val W = 16
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def md5hex(s: String): String =
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text").collect()
       .map(r => (r.getLong(0),
-        r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)))
+        refNormTokens(r.getString(1))))
       .filter(_._2.length >= W)
     val grams = docs.flatMap { case (id, w) =>
       (0 to w.length - W).map(i => (id, md5hex(w.slice(i, i + W).mkString(" "))))
@@ -111,7 +125,7 @@ class OperatorsSpec extends AnyFunSuite {
     val toks = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text").collect()
       .map(r => (r.getLong(0),
-        r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)))
+        refNormTokens(r.getString(1))))
     val vocab = toks.flatMap(_._2).groupBy(identity)
       .map { case (t, o) => t -> o.length.toLong }
     val nCorpus = vocab.values.sum
@@ -138,9 +152,6 @@ class OperatorsSpec extends AnyFunSuite {
       "(counts + redacted digest) and plans as a pure projection") {
     import spark.implicits._
     import graft.operators.TextOps
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def md5hex(s: String): String =
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val expected = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text").collect().map { r =>
         val (id, text) = (r.getLong(0), r.getString(1))
@@ -149,15 +160,16 @@ class OperatorsSpec extends AnyFunSuite {
           (if (id % 3 == 0) s" contact user$id@example.com" else "") +
           (if (id % 5 == 0) f" call +1 415 555 ${id % 10000}%04d" else "") +
           (if (id % 7 == 0) s" from 10.0.${id % 256}.${id * 7 % 256}" else "")
-        def count(re: String) =
-          re.r.findAllMatchIn(ptext).length.toLong
-        val ne = count(TextOps.PiiEmailRe)
-        val np = count(TextOps.PiiPhoneRe)
-        val ni = count(TextOps.PiiIpv4Re)
-        val redacted = ptext
-          .replaceAll(TextOps.PiiEmailRe, "<EMAIL>")
-          .replaceAll(TextOps.PiiIpv4Re, "<IP>")
-          .replaceAll(TextOps.PiiPhoneRe, "<PHONE>")
+        def count(re: String, in: String) =
+          re.r.findAllMatchIn(in).length.toLong
+        // sequential precedence, counts on the prior stage's output —
+        // mirrors the operator's redactions-performed semantics
+        val t1 = ptext.replaceAll(TextOps.PiiEmailRe, "<EMAIL>")
+        val t2 = t1.replaceAll(TextOps.PiiIpv4Re, "<IP>")
+        val ne = count(TextOps.PiiEmailRe, ptext)
+        val ni = count(TextOps.PiiIpv4Re, t1)
+        val np = count(TextOps.PiiPhoneRe, t2)
+        val redacted = t2.replaceAll(TextOps.PiiPhoneRe, "<PHONE>")
         (id, ne, np, ni, ne + np + ni, md5hex(redacted))
       }.toSet
     val q = graft.operators.TextOps.textPii(spark, dir)
@@ -180,14 +192,23 @@ class OperatorsSpec extends AnyFunSuite {
   test("every token-level oracle twin embeds the ONE pinned tokenization " +
       "fragment (drift guard for md5/count parity)") {
     import graft.operators.TextOps
-    val twins = Map(
+    val tokenTwins = Map(
       "text_repetition" -> TextOps.textRepetitionSql,
       "decontaminate" -> TextOps.decontaminateSql,
       "dedup_spans" -> TextOps.dedupSpansSql,
       "text_familiarity" -> TextOps.textFamiliaritySql)
-    twins.foreach { case (name, sql) =>
+    tokenTwins.foreach { case (name, sql) =>
       assert(sql.contains(TextOps.NormTokensSqlFragment),
         s"$name twin drifted from the pinned tokenization")
+    }
+    // string-level twins embed the normalization CORE (no string_split);
+    // dedup_exact is excluded by design — it hashes the RAW text
+    val textTwins = Map(
+      "text_fingerprint" -> TextOps.textFingerprintSql,
+      "curate_corpus" -> TextOps.curateCorpusSql)
+    textTwins.foreach { case (name, sql) =>
+      assert(sql.contains(TextOps.NormTextSqlFragment),
+        s"$name twin drifted from the pinned text normalization")
     }
   }
 
@@ -346,7 +367,7 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     def gramSet(t: String): Set[String] = {
-      val w = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+      val w = refNormTokens(t)
       if (w.length < 8) Set.empty
       else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
     }
@@ -377,13 +398,10 @@ class OperatorsSpec extends AnyFunSuite {
     def hex8(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "lang", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getString(3).toLowerCase.replaceAll("\\s+", " ").trim))
+        refNormText(r.getString(3))))
     def toks(norm: String) = norm.split(" ", -1)
     def grams(norm: String): Set[String] = {
       val w = toks(norm)
@@ -426,7 +444,7 @@ class OperatorsSpec extends AnyFunSuite {
     val texts = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0),
-        r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim))
+        refNormText(r.getString(1))))
     val expected = texts.flatMap { case (id, norm) =>
       val w = norm.split(" ", -1)
       if (w.length < 3) None
