@@ -81,6 +81,7 @@ object SparkEntry {
     // structured streaming (event-time window + stateful sessionization)
     "stream_event_window" -> (S.streamEventWindow _),
     "stream_sessionize" -> (S.streamSessionize _),
+    "stream_enrich" -> (S.streamEnrich _),
     // crawl engine end-to-end (binary payloads; rows-only driver check)
     "crawl_smoke" -> (ImageOps.crawlSmoke _),
     "crawl_phash_dedup" -> (ImageOps.crawlPhashDedup _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "audio_features" -> M.audioFeaturesSql,
     "video_frames" -> M.videoFramesSql,
     "stream_event_window" -> S.streamEventWindowSql,
-    "stream_sessionize" -> S.streamSessionizeSql
+    "stream_sessionize" -> S.streamSessionizeSql,
+    "stream_enrich" -> S.streamEnrichSql
   )
 }

@@ -129,6 +129,39 @@ object StreamingOps {
     out.result().iterator
   }
 
+  /** Stream–static enrichment join: the streaming side (events) joins a
+    * STATIC dimension (customer ⨝ nation → per-user nation name) that Spark
+    * re-plans per micro-batch — the standard "enrich at ingest" shape
+    * (attach host policy / source metadata to a crawl stream, user
+    * attributes to a click stream). The dimension is explicitly
+    * `broadcast()`: a stream-static join must never shuffle the unbounded
+    * side on a dimension key. Aggregation then mirrors q_event_window's
+    * exact-integer cents discipline so the DuckDB twin is bit-exact.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .join(spark.read.parquet(s"$dir/nation.parquet"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val agg = eventStream(spark, dir)
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy($"n_name", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("value_cents"))
+    runToTable(agg, OutputMode.Complete())
+      .select($"n_name", $"event_type", $"n", $"value_cents")
+      .orderBy($"n_name", $"event_type")
+  }
+
+  val streamEnrichSql: String =
+    """SELECT n.n_name, e.event_type, count(*) AS n,
+      | CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   val streamSessionizeSql: String =
     """WITH e AS (
       | SELECT user_id, ts, event_id,

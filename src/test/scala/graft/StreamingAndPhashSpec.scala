@@ -73,6 +73,51 @@ class StreamingAndPhashSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment join ≡ batch join, accumulated across " +
+      "multiple micro-batches") {
+    // the dimension is static and re-planned per micro-batch; splitting the
+    // stream side into 3 chunks exercises the cross-batch agg state over
+    // the joined rows (DuckDB's independent 3-table oracle gates values)
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("stream-enrich").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .join(spark.read.parquet(s"$dir/nation.parquet"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val stream = spark.readStream.schema(ev.schema).parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = stream.join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy($"n_name", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("value_cents"))
+    val q = agg.writeStream.format("memory").queryName("inc_enrich")
+      .outputMode("complete").start()
+    try {
+      for (i <- 0 until 3) {
+        ev.where(pmod($"event_id", lit(3)) === i)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.map(_.batchId).max >= 2,
+        "ingest collapsed into fewer than 3 micro-batches")
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long, Long)] =
+      df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val streamed = rows(spark.table("inc_enrich")
+      .select($"n_name", $"event_type", $"n", $"value_cents"))
+    val batch = rows(ev.join(dim, $"user_id" === $"c_custkey")
+      .groupBy($"n_name", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("value_cents"))
+      .select($"n_name", $"event_type", $"n", $"value_cents"))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.map(_._1).size >= 2,
+      "enrichment should span multiple nations")
+  }
+
   test("streaming sessionization: per-user event counts are conserved") {
     val sessions = StreamingOps.streamSessionize(spark, dir)
     val perUser = sessions.groupBy("user_id")
