@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_spans" -> (T.dedupSpans _),
     "text_familiarity" -> (T.textFamiliarity _),
     "text_pii" -> (T.textPii _),
+    "export_shards" -> (T.exportShards _),
     "embed_neardup_clusters" -> (V.embedNearDupClusters _),
     // embeddings (similarity search)
     "embed_knn" -> (V.embedKnn _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "dedup_spans" -> T.dedupSpansSql,
     "text_familiarity" -> T.textFamiliaritySql,
     "text_pii" -> T.textPiiSql,
+    "export_shards" -> T.exportShardsSql,
     "embed_neardup_clusters" -> V.embedNearDupClustersSql,
     "embed_knn" -> V.embedKnnSql,
     "embed_neardup" -> V.embedNearDupSql,

@@ -806,6 +806,62 @@ object TextOps {
       |  CAST((10000 * sum(n_docs) OVER ()) // ((count(*) OVER ()) * n_docs) AS BIGINT) AS weight_bp
       |FROM g ORDER BY lang""".stripMargin
 
+  /** Deterministic training-export sharding: every document gets a stable
+    * pseudo-random global order (shuffle key = md5(doc_id:shard1)) and a
+    * fixed shard — the last stage of a training-data pipeline, where the
+    * curated corpus is written as N shuffled shards for dataloaders.
+    * shard_id = the first hex digit of the shuffle key (16 uniform shards
+    * at test scale; production uses k hex digits for 16^k shards ≈ 1 GB
+    * each — same recipe, and `instr` on the hex alphabet keeps the bucket
+    * arithmetic engine-portable where a hex→int conv is not). `pos` is the
+    * 0-based rank within the shard by (shuffle key, doc_id).
+    *
+    * Why key-hash, not rand()/repartition(shuffle): reproducible under
+    * task retry, partition reshape, engine change, and incremental corpus
+    * growth — re-exporting after appending documents never reorders an
+    * existing shard prefix pair-wise (new keys interleave deterministically).
+    *
+    * Scale shape: one scan-level projection, then a window partitioned by
+    * shard_id ordered by the key — exactly the repartition + local sort the
+    * shard WRITER needs anyway (`write.partitionBy(shard_id)` consumes this
+    * plan with no extra exchange). No global sort, no driver state; shard
+    * sizes are corpus/N by hash uniformity, so no shard skews.
+    */
+  def exportShards(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val skey = md5(concat($"doc_id".cast("string"), lit(":shard1")))
+    docs(dir)
+      .select($"doc_id", skey.as("skey"))
+      .withColumn("shard_id",
+        (instr(lit("0123456789abcdef"), substring($"skey", 1, 1)) - 1)
+          .cast("bigint"))
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy($"shard_id").orderBy($"skey", $"doc_id")) - 1)
+          .cast("bigint"))
+      .select($"doc_id", $"shard_id", $"pos")
+      .orderBy($"shard_id", $"pos")
+  }
+
+  /** DuckDB twin: same md5 shuffle key, same hex-alphabet `strpos` bucket,
+    * same (key, doc_id) rank.
+    */
+  val exportShardsSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shard1') AS skey
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, skey,
+      |    CAST(strpos('0123456789abcdef', substring(skey, 1, 1)) - 1 AS BIGINT)
+      |      AS shard_id
+      |  FROM k)
+      |SELECT doc_id, shard_id,
+      |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY skey, doc_id) - 1
+      |    AS BIGINT) AS pos
+      |FROM sh ORDER BY shard_id, pos""".stripMargin
+
   /** PII patterns for [[textPii]] — deliberately restricted to the regex
     * subset where Java (Spark) and RE2 (DuckDB) agree exactly: character
     * classes, counted repetition, `\b`, greedy leftmost-first matching; no

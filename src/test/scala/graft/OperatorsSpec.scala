@@ -189,6 +189,39 @@ class OperatorsSpec extends AnyFunSuite {
       s"unexpected aggregate:\n$plan")
   }
 
+  test("export_shards matches an independent shard/rank reference; the " +
+      "assignment is stable under corpus growth and shards are non-empty") {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id").collect().map(_.getLong(0))
+    def assign(ids: Array[Long]): Map[Long, (Long, Long)] = {
+      val keyed = ids.map(id => (id, md5hex(s"$id:shard1")))
+      keyed.groupBy { case (_, k) => "0123456789abcdef".indexOf(k.head).toLong }
+        .flatMap { case (shard, docs) =>
+          docs.sortBy { case (id, k) => (k, id) }.zipWithIndex
+            .map { case ((id, _), pos) => id -> (shard, pos.toLong) }
+        }
+    }
+    val expected = assign(ids)
+    val q = graft.operators.TextOps.exportShards(spark, dir)
+    val got = q.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, "shard assignment drifted from the reference")
+    assert(got.values.map(_._1).toSet.size == 16, "a hex shard is empty")
+    // growth stability: dropping half the corpus must not REORDER the
+    // surviving docs within any shard (ranks compact, pairwise order holds)
+    val half = assign(ids.filter(_ % 2 == 0))
+    half.groupBy(_._2._1).foreach { case (_, docs) =>
+      val survivors = docs.toSeq.sortBy(_._2._2).map(_._1)
+      val before = survivors.sortBy(id => expected(id)._2)
+      assert(survivors == before, "growth reordered a shard's survivors")
+    }
+    // plan shape: one shard-partitioned window, no join
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"missing shard window:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
   test("every token-level oracle twin embeds the ONE pinned tokenization " +
       "fragment (drift guard for md5/count parity)") {
     import graft.operators.TextOps
