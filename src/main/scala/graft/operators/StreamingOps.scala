@@ -140,18 +140,32 @@ object StreamingOps {
     */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dim = spark.read.parquet(s"$dir/customer.parquet")
-      .join(spark.read.parquet(s"$dir/nation.parquet"),
-        $"c_nationkey" === $"n_nationkey")
-      .select($"c_custkey", $"n_name")
-    val agg = eventStream(spark, dir)
-      .join(broadcast(dim), $"user_id" === $"c_custkey")
-      .groupBy($"n_name", $"event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(round($"value" * 100).cast("bigint")).as("value_cents"))
+    val agg = enrichAgg(eventStream(spark, dir), enrichDim(spark, dir))
     runToTable(agg, OutputMode.Complete())
       .select($"n_name", $"event_type", $"n", $"value_cents")
       .orderBy($"n_name", $"event_type")
+  }
+
+  /** The static dimension of [[streamEnrich]] — shared with its spec so the
+    * test's batch/stream twins exercise the operator's actual expressions.
+    */
+  private[graft] def enrichDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/customer.parquet")
+      .join(spark.read.parquet(s"$dir/nation.parquet"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+  }
+
+  /** The join + exact-cents aggregation of [[streamEnrich]], applied to any
+    * (streaming or batch) events source — one definition, no test drift.
+    */
+  private[graft] def enrichAgg(events: DataFrame, dim: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy($"n_name", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("value_cents"))
   }
 
   val streamEnrichSql: String =

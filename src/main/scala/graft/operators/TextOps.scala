@@ -824,8 +824,11 @@ object TextOps {
     * Scale shape: one scan-level projection, then a window partitioned by
     * shard_id ordered by the key — exactly the repartition + local sort the
     * shard WRITER needs anyway (`write.partitionBy(shard_id)` consumes this
-    * plan with no extra exchange). No global sort, no driver state; shard
-    * sizes are corpus/N by hash uniformity, so no shard skews.
+    * plan with no extra exchange). No driver state; shard sizes are
+    * corpus/N by hash uniformity, so no shard skews. The trailing orderBy
+    * is presentation-only (the driver's deterministic oracle dump, like
+    * [[sampleStratified]]'s) — a production export drops it and pays only
+    * the window's exchange.
     */
   def exportShards(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark

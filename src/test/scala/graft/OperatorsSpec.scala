@@ -208,11 +208,21 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected, "shard assignment drifted from the reference")
     assert(got.values.map(_._1).toSet.size == 16, "a hex shard is empty")
-    // growth stability: dropping half the corpus must not REORDER the
-    // surviving docs within any shard (ranks compact, pairwise order holds)
-    val half = assign(ids.filter(_ % 2 == 0))
-    half.groupBy(_._2._1).foreach { case (_, docs) =>
+    // growth stability: run the OPERATOR ITSELF on a half-corpus written
+    // to a temp table — its shard ranks must not pairwise-reorder any
+    // shard's survivors relative to the full-corpus run (so incremental
+    // corpus growth never reshuffles an existing shard's relative order)
+    val halfDir = java.nio.file.Files.createTempDirectory("shards-half").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .where($"doc_id" % 2 === 0)
+      .write.mode("overwrite").parquet(s"$halfDir/documents.parquet")
+    val half = graft.operators.TextOps.exportShards(spark, halfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(half.keySet == ids.filter(_ % 2 == 0).toSet)
+    half.groupBy(_._2._1).foreach { case (shard, docs) =>
       val survivors = docs.toSeq.sortBy(_._2._2).map(_._1)
+      survivors.foreach(id => assert(expected(id)._1 == shard,
+        s"doc $id changed shard under corpus growth"))
       val before = survivors.sortBy(id => expected(id)._2)
       assert(survivors == before, "growth reordered a shard's survivors")
     }

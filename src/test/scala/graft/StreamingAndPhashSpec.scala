@@ -81,16 +81,12 @@ class StreamingAndPhashSpec extends AnyFunSuite {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("stream-enrich").toString
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    val dim = spark.read.parquet(s"$dir/customer.parquet")
-      .join(spark.read.parquet(s"$dir/nation.parquet"),
-        $"c_nationkey" === $"n_nationkey")
-      .select($"c_custkey", $"n_name")
+    // the operator's OWN dim + agg expressions (shared helpers — the test
+    // cannot drift from what streamEnrich actually computes)
+    val dim = StreamingOps.enrichDim(spark, dir)
     val stream = spark.readStream.schema(ev.schema).parquet(src)
       .withColumn("ts", col("ts").cast("timestamp"))
-    val agg = stream.join(broadcast(dim), $"user_id" === $"c_custkey")
-      .groupBy($"n_name", $"event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(round($"value" * 100).cast("bigint")).as("value_cents"))
+    val agg = StreamingOps.enrichAgg(stream, dim)
     val q = agg.writeStream.format("memory").queryName("inc_enrich")
       .outputMode("complete").start()
     try {
@@ -108,10 +104,7 @@ class StreamingAndPhashSpec extends AnyFunSuite {
         .toSet
     val streamed = rows(spark.table("inc_enrich")
       .select($"n_name", $"event_type", $"n", $"value_cents"))
-    val batch = rows(ev.join(dim, $"user_id" === $"c_custkey")
-      .groupBy($"n_name", $"event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(round($"value" * 100).cast("bigint")).as("value_cents"))
+    val batch = rows(StreamingOps.enrichAgg(ev, dim)
       .select($"n_name", $"event_type", $"n", $"value_cents"))
     assert(streamed == batch)
     assert(streamed.nonEmpty && streamed.map(_._1).size >= 2,
