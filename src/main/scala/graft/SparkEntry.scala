@@ -83,6 +83,7 @@ object SparkEntry {
     "stream_event_window" -> (S.streamEventWindow _),
     "stream_sessionize" -> (S.streamSessionize _),
     "stream_enrich" -> (S.streamEnrich _),
+    "stream_dedup" -> (S.streamDedup _),
     // crawl engine end-to-end (binary payloads; rows-only driver check)
     "crawl_smoke" -> (ImageOps.crawlSmoke _),
     "crawl_phash_dedup" -> (ImageOps.crawlPhashDedup _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "video_frames" -> M.videoFramesSql,
     "stream_event_window" -> S.streamEventWindowSql,
     "stream_sessionize" -> S.streamSessionizeSql,
-    "stream_enrich" -> S.streamEnrichSql
+    "stream_enrich" -> S.streamEnrichSql,
+    "stream_dedup" -> S.streamDedupSql
   )
 }

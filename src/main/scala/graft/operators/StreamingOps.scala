@@ -176,6 +176,48 @@ object StreamingOps {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** Stateful streaming dedup at ingest: the same events file is ingested
+    * TWICE (two micro-batches, `maxFilesPerTrigger 1`) and
+    * `dropDuplicates(event_id)` must emit each event exactly once — the
+    * keyed dedup state persisting across micro-batches is the streaming
+    * analog of the crawl engine's URL-seen membership (which the engine
+    * keeps outside SS because of its round feedback loop; at pure-ingest
+    * time THIS is the shape). Downstream, the deduped rows reduce to the
+    * per-type exact-cents aggregate, so the DuckDB twin is the plain
+    * single-copy aggregate: any leaked duplicate doubles a count and
+    * breaks the hash. At real scale the dedup key state is watermark-aged
+    * (`dropDuplicatesWithinWatermark`) — unbounded here only because the
+    * test corpus is static.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("stream-dedup")
+    val from = java.nio.file.Paths.get(s"$dir/events.parquet")
+    Seq("a", "b").foreach { n =>
+      java.nio.file.Files.copy(from, src.resolve(s"$n.parquet"))
+    }
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val deduped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .dropDuplicates("event_id")
+    try
+      runToTable(deduped, OutputMode.Append())
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("bigint")).as("value_cents"))
+        .orderBy($"event_type")
+    finally {
+      Seq("a", "b").foreach(n =>
+        java.nio.file.Files.deleteIfExists(src.resolve(s"$n.parquet")))
+      java.nio.file.Files.deleteIfExists(src)
+    }
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val streamSessionizeSql: String =
     """WITH e AS (
       | SELECT user_id, ts, event_id,

@@ -111,6 +111,37 @@ class StreamingAndPhashSpec extends AnyFunSuite {
       "enrichment should span multiple nations")
   }
 
+  test("streaming ingest dedup: duplicate micro-batches collapse to the " +
+      "single-copy aggregate via cross-batch keyed state") {
+    import spark.implicits._
+    // drive the query shape directly so the micro-batch count is observable
+    val src = java.nio.file.Files.createTempDirectory("stream-dedup-spec")
+    val from = java.nio.file.Paths.get(s"$dir/events.parquet")
+    Seq("a", "b").foreach(n =>
+      java.nio.file.Files.copy(from, src.resolve(s"$n.parquet")))
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).max >= 1,
+        "double ingest collapsed into one micro-batch")
+    } finally q.stop()
+    assert(spark.table("inc_dedup").count() == ev.count(),
+      "cross-batch dedup state leaked duplicates (or dropped rows)")
+    // and the operator itself ≡ the single-copy batch aggregate
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = rows(StreamingOps.streamDedup(spark, dir))
+    val batch = rows(ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("value_cents")))
+    assert(got == batch)
+  }
+
   test("streaming sessionization: per-user event counts are conserved") {
     val sessions = StreamingOps.streamSessionize(spark, dir)
     val perUser = sessions.groupBy("user_id")
