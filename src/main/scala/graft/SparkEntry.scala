@@ -45,6 +45,7 @@ object SparkEntry {
     "text_fingerprint" -> (T.textFingerprint _),
     "sample_stratified" -> (T.sampleStratified _),
     "decontaminate" -> (T.decontaminate _),
+    "decontaminate_bloom" -> (T.decontaminateBloom _),
     "curate_corpus" -> (T.curateCorpus _),
     "text_repetition" -> (T.textRepetition _),
     "neardup_clusters" -> (T.neardupClusters _),
@@ -119,6 +120,8 @@ object SparkEntry {
     "text_fingerprint" -> T.textFingerprintSql,
     "sample_stratified" -> T.sampleStratifiedSql,
     "decontaminate" -> T.decontaminateSql,
+    // bloom prescreen + exact verify ⇒ IDENTICAL result: shares the oracle
+    "decontaminate_bloom" -> T.decontaminateSql,
     "curate_corpus" -> T.curateCorpusSql,
     "text_repetition" -> T.textRepetitionSql,
     "neardup_clusters" -> T.neardupClustersSql,

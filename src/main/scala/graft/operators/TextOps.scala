@@ -446,24 +446,74 @@ object TextOps {
     * broadcast hash relation in place, and only the HITS (a vanishing
     * fraction) reach the pair-count shuffle. No sort-merge join, no
     * train-side distinct, no full-gram materialization. At real scale the
-    * broadcast hash relation can be swapped for a Bloom probe of the eval
-    * grams; the plan shape stays scan → probe → tiny aggregate.
+    * broadcast hash relation swaps for a Bloom prescreen of the eval grams
+    * — CODED as [[decontaminateBloom]] (same oracle, result-identical);
+    * the plan shape stays scan → probe → tiny aggregate.
     */
+  /** Per-doc deduped token 8-grams — shared by [[decontaminate]] and
+    * [[decontaminateBloom]] so the two paths cannot drift.
+    */
+  private def decontamGrams(df: DataFrame): DataFrame = {
+    implicit val s: SparkSession = df.sparkSession
+    import s.implicits._
+    df.select($"doc_id",
+        normTokens($"text").as("w"))
+      .where(size($"w") >= 8)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(0), size($"w") - 8),
+          i => concat_ws(" ", slice($"w", i + 1, lit(8)))))).as("gram"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    def grams(df: DataFrame): DataFrame =
-      df.select($"doc_id",
-          normTokens($"text").as("w"))
-        .where(size($"w") >= 8)
-        .select($"doc_id", explode(array_distinct(
-          transform(sequence(lit(0), size($"w") - 8),
-            i => concat_ws(" ", slice($"w", i + 1, lit(8)))))).as("gram"))
-    val all = grams(docs(dir))
+    val all = decontamGrams(docs(dir))
     val evalGrams = all.where($"doc_id" % 10 === 0)
       .withColumnRenamed("doc_id", "eval_id")
     val trainGrams = all.where($"doc_id" % 10 =!= 0)
     trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy($"doc_id", $"eval_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy($"doc_id", $"eval_id")
+  }
+
+  /** [[decontaminate]]'s documented 100 TB swap, CODED: the eval gram set
+    * folds into ONE compact Bloom filter (the engine's map-side-combined
+    * `BloomBuildAgg` — the same native aggregate the crawl's URL-seen
+    * prefilter uses), and every train gram is prescreened by Spark's native
+    * codegen `might_contain` expression before anything joins. Only bloom
+    * survivors (true hits + ~fpp of the rest) reach the exact broadcast
+    * verify join, so the per-gram hot path never touches a hash relation
+    * sized by the eval GRAM COUNT — at a 13-gram GPT-3-scale eval suite the
+    * bloom is ~KBs/MBs where the exact gram relation is GBs. The verify
+    * join keeps the RESULT exact (bloom false positives are filtered by the
+    * equality join), so this query shares [[decontaminateSql]] verbatim as
+    * its oracle — a leaked approximation would break the hash.
+    *
+    * The filter bytes ride as a plan literal (eval side is small by
+    * construction); a deployment whose bloom outgrows plan-literal comfort
+    * wires the same expression through a broadcast variable or scalar
+    * subquery — probe and build stages unchanged.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graft.bridge
+    val all = decontamGrams(docs(dir))
+    val evalGrams = all.where($"doc_id" % 10 === 0)
+      .withColumnRenamed("doc_id", "eval_id")
+    val trainGrams = all.where($"doc_id" % 10 =!= 0)
+    val nEval = evalGrams.count() // eval side is KB-scale by construction
+    val bloomBytes = evalGrams
+      .agg(graft.engine.Bloom.bloomAgg(xxhash64($"gram"),
+        math.max(nEval, 1024L), 0.01).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = bridge.toColumn(BloomFilterMightContain(
+      bridge.toExpression(lit(bloomBytes)),
+      bridge.toExpression(xxhash64($"gram"))))
+    trainGrams.where(mightContain)
+      .join(broadcast(evalGrams), Seq("gram"))
       .groupBy($"doc_id", $"eval_id")
       .agg(count(lit(1)).as("shared_grams"))
       .orderBy($"doc_id", $"eval_id")

@@ -189,6 +189,24 @@ class OperatorsSpec extends AnyFunSuite {
       s"unexpected aggregate:\n$plan")
   }
 
+  test("decontaminate_bloom ≡ decontaminate exactly; the native bloom " +
+      "prescreen prunes grams before the verify join") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(graft.operators.TextOps.decontaminate(spark, dir))
+    val q = graft.operators.TextOps.decontaminateBloom(spark, dir)
+    assert(rows(q) == exact,
+      "bloom path drifted from the exact path (prefilter must not change results)")
+    assert(exact.nonEmpty, "eval overlap exists in the corpus by construction")
+    // plan: the native might_contain prescreen sits on the train side and
+    // the verify join is still a broadcast — never a sort-merge join
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom prescreen missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
   test("export_shards matches an independent shard/rank reference; the " +
       "assignment is stable under corpus growth and shards are non-empty") {
     import spark.implicits._
