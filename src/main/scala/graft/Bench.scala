@@ -274,7 +274,7 @@ object Bench {
       "sample_stratified", "decontaminate", "curate_corpus",
       "text_repetition", "neardup_clusters", "embed_neardup_clusters",
       "img_phash_clusters", "corpus_mixture", "dedup_spans",
-      "text_familiarity", "text_pii", "export_shards")
+      "text_familiarity", "text_pii", "export_shards", "decontaminate_bloom")
     try SparkEntry.queries("q_topk")(spark, sfDir).count() // session warmup
     catch { case _: Throwable => () }
     // raw hardware probe BRACKETING the query block (r4 verdict "What's
