@@ -192,25 +192,36 @@ object StreamingOps {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("stream-dedup")
-    val from = java.nio.file.Paths.get(s"$dir/events.parquet")
-    Seq("a", "b").foreach { n =>
-      java.nio.file.Files.copy(from, src.resolve(s"$n.parquet"))
-    }
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val deduped = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src.toString)
-      .dropDuplicates("event_id")
     try
-      runToTable(deduped, OutputMode.Append())
+      runToTable(dedupIngest(spark, dir, src), OutputMode.Append())
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
           sum(round($"value" * 100).cast("bigint")).as("value_cents"))
         .orderBy($"event_type")
     finally {
-      Seq("a", "b").foreach(n =>
-        java.nio.file.Files.deleteIfExists(src.resolve(s"$n.parquet")))
-      java.nio.file.Files.deleteIfExists(src)
+      // recursive + tolerant: an unexpected extra file (or a failed copy)
+      // must not turn cleanup into a masking exception from the finally
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(src).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  /** The double-ingested dedup stream of [[streamDedup]] — the events file
+    * copied TWICE into `src` with `maxFilesPerTrigger 1` (one file per
+    * micro-batch) through `dropDuplicates(event_id)`. Shared with the spec
+    * so the ≥ 2-micro-batch cross-batch-state assertion drives the
+    * operator's actual query shape, not a test copy of it.
+    */
+  private[graft] def dedupIngest(
+      spark: SparkSession, dir: String, src: java.nio.file.Path): DataFrame = {
+    val from = java.nio.file.Paths.get(s"$dir/events.parquet")
+    Seq("a", "b").foreach { n =>
+      java.nio.file.Files.copy(from, src.resolve(s"$n.parquet"))
+    }
+    spark.readStream.schema(spark.read.parquet(from.toString).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .dropDuplicates("event_id")
   }
 
   val streamDedupSql: String =

@@ -450,31 +450,35 @@ object TextOps {
     * — CODED as [[decontaminateBloom]] (same oracle, result-identical);
     * the plan shape stays scan → probe → tiny aggregate.
     */
-  /** Per-doc deduped token 8-grams — shared by [[decontaminate]] and
-    * [[decontaminateBloom]] so the two paths cannot drift.
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val (evalGrams, trainGrams) = decontamSplit(spark, dir)
+    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy($"doc_id", $"eval_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy($"doc_id", $"eval_id")
+  }
+
+  /** (eval grams as `(eval_id, gram)`, train grams as `(doc_id, gram)`) —
+    * the per-doc deduped token 8-grams AND the eval/train split, shared by
+    * [[decontaminate]] and [[decontaminateBloom]] so neither the gram
+    * derivation nor the eval-set definition can drift between the two
+    * paths (both are load-bearing for the shared oracle).
     */
-  private def decontamGrams(df: DataFrame): DataFrame = {
-    implicit val s: SparkSession = df.sparkSession
-    import s.implicits._
-    df.select($"doc_id",
+  private def decontamSplit(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val all = docs(dir)
+      .select($"doc_id",
         normTokens($"text").as("w"))
       .where(size($"w") >= 8)
       .select($"doc_id", explode(array_distinct(
         transform(sequence(lit(0), size($"w") - 8),
           i => concat_ws(" ", slice($"w", i + 1, lit(8)))))).as("gram"))
-  }
-
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    implicit val s: SparkSession = spark
-    import spark.implicits._
-    val all = decontamGrams(docs(dir))
-    val evalGrams = all.where($"doc_id" % 10 === 0)
-      .withColumnRenamed("doc_id", "eval_id")
-    val trainGrams = all.where($"doc_id" % 10 =!= 0)
-    trainGrams.join(broadcast(evalGrams), Seq("gram"))
-      .groupBy($"doc_id", $"eval_id")
-      .agg(count(lit(1)).as("shared_grams"))
-      .orderBy($"doc_id", $"eval_id")
+    (all.where($"doc_id" % 10 === 0).withColumnRenamed("doc_id", "eval_id"),
+      all.where($"doc_id" % 10 =!= 0))
   }
 
   /** [[decontaminate]]'s documented 100 TB swap, CODED: the eval gram set
@@ -500,10 +504,11 @@ object TextOps {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.graft.bridge
-    val all = decontamGrams(docs(dir))
-    val evalGrams = all.where($"doc_id" % 10 === 0)
-      .withColumnRenamed("doc_id", "eval_id")
-    val trainGrams = all.where($"doc_id" % 10 =!= 0)
+    val (evalGramsRaw, trainGrams) = decontamSplit(spark, dir)
+    // the eval gram subtree feeds THREE jobs (count, bloom build, verify
+    // broadcast) — checkpoint it once; lazy localCheckpoint, not persist,
+    // per the ImageOps.scala rationale (no CacheManager entry to leak)
+    val evalGrams = evalGramsRaw.localCheckpoint(false)
     val nEval = evalGrams.count() // eval side is KB-scale by construction
     val bloomBytes = evalGrams
       .agg(graft.engine.Bloom.bloomAgg(xxhash64($"gram"),

@@ -114,15 +114,11 @@ class StreamingAndPhashSpec extends AnyFunSuite {
   test("streaming ingest dedup: duplicate micro-batches collapse to the " +
       "single-copy aggregate via cross-batch keyed state") {
     import spark.implicits._
-    // drive the query shape directly so the micro-batch count is observable
+    // drive the OPERATOR'S OWN ingest shape (shared helper) so the
+    // micro-batch count assertion gates streamDedup, not a test copy
     val src = java.nio.file.Files.createTempDirectory("stream-dedup-spec")
-    val from = java.nio.file.Paths.get(s"$dir/events.parquet")
-    Seq("a", "b").foreach(n =>
-      java.nio.file.Files.copy(from, src.resolve(s"$n.parquet")))
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    val q = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(src.toString)
-      .dropDuplicates("event_id")
+    val q = StreamingOps.dedupIngest(spark, dir, src)
       .writeStream.format("memory").queryName("inc_dedup")
       .outputMode("append").start()
     try {
