@@ -267,7 +267,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val headline = Vector("q1_agg", "q_count_pushdown", "q_broadcast_join",
-      "q_window_quota", "q_anti_join", "q_event_window", "q_topk",
+      "q_window_quota", "q_anti_join", "q_event_window", "q_topk", "q_rollup",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "text_quality",
       "text_langid", "embed_knn", "embed_ann_lsh", "embed_ann_ivf",
       "img_phash_neardup", "audio_features", "video_frames",

@@ -27,6 +27,7 @@ object SparkEntry {
     "q_window_quota" -> (R.qWindowQuota _),
     "q_union_dedup" -> (R.qUnionDedup _),
     "q_topk" -> (R.qTopk _),
+    "q_rollup" -> (R.qRollup _),
     "q_event_window" -> (R.qEventWindow _),
     "q_explode_tokens" -> (R.qExplodeTokens _),
     "q_date_range" -> (R.qDateRange _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_window_quota" -> R.qWindowQuotaSql,
     "q_union_dedup" -> R.qUnionDedupSql,
     "q_topk" -> R.qTopkSql,
+    "q_rollup" -> R.qRollupSql,
     "q_event_window" -> R.qEventWindowSql,
     "q_explode_tokens" -> R.qExplodeTokensSql,
     "q_date_range" -> R.qDateRangeSql,

@@ -174,6 +174,37 @@ object RelationalOps {
     """SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** Hierarchical rollup aggregate (GROUPING SETS family): per-(lang,
+    * source) doc counts and token totals PLUS per-lang subtotals PLUS the
+    * grand total in one pass — the corpus-report shape every dataset card
+    * tabulates. Catalyst plans this as ONE Expand (each row replicated once
+    * per grouping set) feeding a single hash aggregate: no self-union, no
+    * second scan, map-side combinable — at 100 TB the cost is the expand
+    * factor (3 here), not extra passes. Rollup NULL markers are coalesced
+    * to a sentinel in BOTH engines so the twin never hash-compares nulls
+    * (`lang` is never null in the corpus, so the sentinel is unambiguous).
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    t(dir, "documents")
+      .rollup($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).cast("bigint").as("total_tokens"))
+      .select(coalesce($"lang", lit("(all)")).as("lang"),
+        coalesce($"source", lit("(all)")).as("source"),
+        $"n_docs", $"total_tokens")
+      .orderBy($"lang", $"source")
+  }
+
+  val qRollupSql: String =
+    """SELECT coalesce(lang, '(all)') AS lang,
+      |  coalesce(source, '(all)') AS source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY ROLLUP(lang, source)
+      |ORDER BY 1, 2""".stripMargin
+
   /** §2.9: event-time tumbling-window aggregation over the events stream
     * table (batch equivalent of the streaming windowed agg; value summed as
     * exact cents).

@@ -189,6 +189,35 @@ class OperatorsSpec extends AnyFunSuite {
       s"unexpected aggregate:\n$plan")
   }
 
+  test("q_rollup: leaves, per-lang subtotals and the grand total are " +
+      "mutually consistent and come from ONE Expand-fed aggregate") {
+    import spark.implicits._
+    val q = graft.operators.RelationalOps.qRollup(spark, dir)
+    val rows = q.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val leaves = rows.filter(r => r._1 != "(all)" && r._2 != "(all)")
+    val subs = rows.filter(r => r._1 != "(all)" && r._2 == "(all)")
+    val grand = rows.filter(r => r._1 == "(all)" && r._2 == "(all)")
+    assert(grand.length == 1 && leaves.nonEmpty && subs.nonEmpty)
+    assert(leaves.map(_._3).sum == grand.head._3 &&
+      subs.map(_._3).sum == grand.head._3, "doc counts inconsistent")
+    assert(leaves.map(_._4).sum == grand.head._4 &&
+      subs.map(_._4).sum == grand.head._4, "token totals inconsistent")
+    subs.foreach { s =>
+      assert(leaves.filter(_._1 == s._1).map(_._3).sum == s._3,
+        s"subtotal for ${s._1} disagrees with its leaves")
+    }
+    // plan: one Expand feeding one aggregate — no union, no second scan
+    // (AQE's toString repeats the tree as "== Initial Plan ==" — count
+    // scans in the final section only)
+    val plan = q.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("Expand"), s"rollup lost its Expand:\n$plan")
+    assert(!finalPlan.contains("Union"), s"rollup planned as a union:\n$plan")
+    assert(finalPlan.split("Scan parquet").length - 1 == 1,
+      s"rollup scanned the table more than once:\n$plan")
+  }
+
   test("decontaminate_bloom ≡ decontaminate exactly; the native bloom " +
       "prescreen prunes grams before the verify join") {
     import spark.implicits._
