@@ -47,20 +47,62 @@ object VectorOps {
     n
   }
 
-  /** dot(a,b) folded left over the element index, all in double. */
-  private def dotStr(a: String, b: String): String =
+  /** Embedding dimensionality of the corpus (the SynthCorpus contract all
+    * of these operators share with the DuckDB twins).
+    */
+  private val Dim = 64
+
+  /** dot(a,b) folded left over the element index, all in double — the
+    * general-arity form. Higher-order functions (`aggregate`/`zip_with`)
+    * are CodegenFallback in Spark: every element costs an interpreted
+    * lambda round-trip plus an intermediate array allocation, which made
+    * this THE hot instruction of every embedding query (guide §1.2 step 2:
+    * per-task work). Kept as the fallback arm of [[dotStr]].
+    */
+  private def dotFoldStr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
 
-  private def norm2Str(a: String): String =
+  private def norm2FoldStr(a: String): String =
     s"aggregate($a, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))"
 
-  /** Rounded cosine as an expression STRING so it can also appear inside
-    * higher-order lambdas (the IVF assignment fold).
+  /** dot(a,b) UNROLLED over the fixed 64-dim layout: a pure chain of
+    * GetArrayItem/Multiply/Add nodes — whole-stage-codegen-friendly, no
+    * lambda dispatch, no intermediate array. The chain seeds with
+    * `cast(0 as double)` and adds terms left-to-right, i.e. the EXACT
+    * IEEE-754 evaluation order of the fold it replaces, so every sim/norm
+    * double (and the oracle hash) is bit-identical. Any non-64-dim input
+    * takes the original fold arm, keeping the operator's domain unchanged
+    * (mismatched zip_with lengths yielded null; so does `IF`'s fold arm).
     */
-  private def cosineStr(a: String, b: String): String =
-    s"round(${dotStr(a, b)} / (sqrt(${norm2Str(a)}) * sqrt(${norm2Str(b)})), 6)"
+  private def dotStr(a: String, b: String): String = {
+    val terms = (0 until Dim)
+      .map(i => s"(cast($a[$i] as double) * cast($b[$i] as double))")
+      .mkString("cast(0 as double) + ", " + ", "")
+    s"IF(size($a) = $Dim AND size($b) = $Dim, $terms, ${dotFoldStr(a, b)})"
+  }
 
-  private def cosine(a: String, b: String): Column = expr(cosineStr(a, b))
+  private def norm2Str(a: String): String = {
+    val terms = (0 until Dim)
+      .map(i => s"(cast($a[$i] as double) * cast($a[$i] as double))")
+      .mkString("cast(0 as double) + ", " + ", "")
+    s"IF(size($a) = $Dim, $terms, ${norm2FoldStr(a)})"
+  }
+
+  /** sqrt(norm2) as a string — the per-VECTOR factor of the cosine
+    * denominator. Precomputing it once per vector (instead of once per
+    * PAIR inside the cosine) removes two of the three 64-element folds
+    * from every verify-join row; `na * nb` multiplies the same two sqrt
+    * values the inline form did, so the quotient is bit-identical.
+    */
+  private def normStr(a: String): String = s"sqrt(${norm2Str(a)})"
+
+  /** Rounded cosine with PRECOMPUTED norms (`na`, `nb` name columns or
+    * lambda fields holding [[normStr]] of `a`/`b`) — usable inside
+    * higher-order lambdas (the IVF assignment fold) like the inline
+    * cosine string it replaces.
+    */
+  private def simStr(a: String, b: String, na: String, nb: String): String =
+    s"round(${dotStr(a, b)} / ($na * $nb), 6)"
 
   /** DuckDB twin of [[cosine]]: list comprehension + list_sum in double. */
   private def cosineSql(a: String, b: String): String =
@@ -77,13 +119,15 @@ object VectorOps {
     import spark.implicits._
     val e = emb(dir)
     val q = e.where($"vec_id" < 20)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("ce"))
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        expr(normStr("embedding")).as("qn"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("ce"),
+      expr(normStr("embedding")).as("cn"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"sim".desc, $"neighbor_id".asc)
     q.crossJoin(c)
       .where($"query_id" =!= $"neighbor_id")
-      .withColumn("sim", cosine("qe", "ce"))
+      .withColumn("sim", expr(simStr("qe", "ce", "qn", "cn")))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= 5)
       .select($"query_id", $"neighbor_id", $"sim", $"rank")
@@ -108,11 +152,13 @@ object VectorOps {
   def embedNearDupBrute(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val a = emb(dir).select($"vec_id".as("vec_a"), $"embedding".as("ea"))
-    val b = emb(dir).select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    val a = emb(dir).select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+      expr(normStr("embedding")).as("na"))
+    val b = emb(dir).select($"vec_id".as("vec_b"), $"embedding".as("eb"),
+      expr(normStr("embedding")).as("nb"))
     a.crossJoin(b)
       .where($"vec_a" < $"vec_b")
-      .withColumn("sim", cosine("ea", "eb"))
+      .withColumn("sim", expr(simStr("ea", "eb", "na", "nb")))
       .where($"sim" >= 0.4)
       .select($"vec_a", $"vec_b", $"sim")
       .orderBy($"vec_a", $"vec_b")
@@ -192,9 +238,11 @@ object VectorOps {
     import spark.implicits._
     val e = emb(dir)
     nearDupCandidates(spark, dir)
-      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea")), Seq("vec_a"))
-      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("eb")), Seq("vec_b"))
-      .withColumn("sim", cosine("ea", "eb"))
+      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+        expr(normStr("embedding")).as("na")), Seq("vec_a"))
+      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("eb"),
+        expr(normStr("embedding")).as("nb")), Seq("vec_b"))
+      .withColumn("sim", expr(simStr("ea", "eb", "na", "nb")))
       .where($"sim" >= NearDupThreshold)
       .select($"vec_a", $"vec_b", $"sim")
       .orderBy($"vec_a", $"vec_b")
@@ -321,9 +369,11 @@ object VectorOps {
     val w = Window.partitionBy($"query_id")
       .orderBy($"sim".desc, $"neighbor_id".asc)
     annCandidates(spark, dir)
-      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qe")), Seq("query_id"))
-      .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("ce")), Seq("neighbor_id"))
-      .withColumn("sim", cosine("qe", "ce"))
+      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        expr(normStr("embedding")).as("qn")), Seq("query_id"))
+      .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("ce"),
+        expr(normStr("embedding")).as("cn")), Seq("neighbor_id"))
+      .withColumn("sim", expr(simStr("qe", "ce", "qn", "cn")))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= 3)
       .select($"query_id", $"neighbor_id", $"sim", $"rank")
@@ -440,12 +490,17 @@ object VectorOps {
     // return zero rows, with the SQL twin degenerating identically (the
     // oracle could not catch it). Fall back to the min-vec_id row as the
     // single centroid — same conditional-collect scan, no extra job.
+    // structs carry 'cn' = sqrt(norm2(cv)) precomputed ONCE per centroid:
+    // every downstream assignment/probe cosine then pays one unrolled dot
+    // instead of three 64-element folds (array_sort still orders by the
+    // leading unique cid, so the centroid order is unchanged)
     e.agg(
         array_sort(collect_list(when(expr(ivfHashSpark) % step === 0,
-          struct(col("vec_id").as("cid"), col("embedding").as("cv")))))
+          struct(col("vec_id").as("cid"), col("embedding").as("cv"),
+            expr(normStr("embedding")).as("cn")))))
           .as("cents0"),
-        min_by(struct(col("vec_id").as("cid"), col("embedding").as("cv")),
-          col("vec_id")).as("fb"))
+        min_by(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
+          expr(normStr("embedding")).as("cn")), col("vec_id")).as("fb"))
       .select(expr("CASE WHEN size(cents0) = 0 THEN array(fb) " +
         "ELSE cents0 END").as("cents"))
   }
@@ -471,24 +526,31 @@ object VectorOps {
     // assignment cost, never silent emptiness) — step | step2 means an
     // empty cell sample forces an empty super sample, so the fallbacks
     // compose. The SQL twin applies the same rules.
+    // both levels carry precomputed sqrt-norms ('cn'/'sn') so the K·K1
+    // cell→super assignment inside the row and every downstream cosine
+    // pay one dot each (see ivfCentsRow)
     e.agg(
         array_sort(collect_list(when(expr(ivfHashSpark) % step === 0,
-          struct(col("vec_id").as("cid"), col("embedding").as("cv")))))
+          struct(col("vec_id").as("cid"), col("embedding").as("cv"),
+            expr(normStr("embedding")).as("cn")))))
           .as("cents00"),
         array_sort(collect_list(when(expr(ivfHashSpark) % step2 === 0,
-          struct(col("vec_id").as("sid"), col("embedding").as("sv")))))
+          struct(col("vec_id").as("sid"), col("embedding").as("sv"),
+            expr(normStr("embedding")).as("sn")))))
           .as("supers0"),
-        min_by(struct(col("vec_id").as("cid"), col("embedding").as("cv")),
-          col("vec_id")).as("fb"))
+        min_by(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
+          expr(normStr("embedding")).as("cn")), col("vec_id")).as("fb"))
       .select(expr("CASE WHEN size(cents00) = 0 THEN array(fb) " +
         "ELSE cents00 END").as("cents0"), col("supers0"))
       .select(expr(
         "CASE WHEN size(supers0) = 0 THEN transform(cents0, " +
-          "c -> named_struct('sid', c.cid, 'sv', c.cv)) ELSE supers0 END")
+          "c -> named_struct('sid', c.cid, 'sv', c.cv, 'sn', c.cn)) " +
+          "ELSE supers0 END")
         .as("supers"), col("cents0"))
       .select(expr(
         "transform(cents0, c -> named_struct('cid', c.cid, 'cv', c.cv, " +
-          s"'sid', -(array_max(transform(supers, s -> named_struct('s', ${cosineStr("c.cv", "s.sv")}, 'c', -s.sid))).c)))")
+          "'cn', c.cn, " +
+          s"'sid', -(array_max(transform(supers, s -> named_struct('s', ${simStr("c.cv", "s.sv", "c.cn", "s.sn")}, 'c', -s.sid))).c)))")
         .as("cents"),
         col("supers"))
   }
@@ -509,25 +571,31 @@ object VectorOps {
     // struct ('s' sim, 'c' -cid) = max sim then min cid, a pure projection.
     // Two-level: argmax over the K1 supers first, then over that super's
     // cells (∪ the super's own cell — never empty): O(K1 + K/K1) per row.
+    // 'en' = the row vector's sqrt-norm, computed once per row instead of
+    // once per centroid inside every lambda (K-fold fewer norm folds)
     val assign =
       if (twoLevel)
-        e.crossJoin(broadcast(cr))
+        e.withColumn("en", expr(normStr("embedding")))
+          .crossJoin(broadcast(cr))
           .withColumn("vsid", expr(
-            s"-(array_max(transform(supers, s -> named_struct('s', ${cosineStr("embedding", "s.sv")}, 'c', -s.sid))).c)"))
+            s"-(array_max(transform(supers, s -> named_struct('s', ${simStr("embedding", "s.sv", "en", "s.sn")}, 'c', -s.sid))).c)"))
           .select($"vec_id".as("neighbor_id"), expr(
-            s"-(array_max(transform(filter(cents, c -> c.sid = vsid OR c.cid = vsid), c -> named_struct('s', ${cosineStr("embedding", "c.cv")}, 'c', -c.cid))).c)")
+            s"-(array_max(transform(filter(cents, c -> c.sid = vsid OR c.cid = vsid), c -> named_struct('s', ${simStr("embedding", "c.cv", "en", "c.cn")}, 'c', -c.cid))).c)")
             .as("cell"))
       else
-        e.crossJoin(broadcast(cr))
+        e.withColumn("en", expr(normStr("embedding")))
+          .crossJoin(broadcast(cr))
           .select($"vec_id".as("neighbor_id"), expr(
-            s"-(array_max(transform(cents, ct -> named_struct('s', ${cosineStr("embedding", "ct.cv")}, 'c', -ct.cid))).c)")
+            s"-(array_max(transform(cents, ct -> named_struct('s', ${simStr("embedding", "ct.cv", "en", "ct.cn")}, 'c', -ct.cid))).c)")
             .as("cell"))
     // query side (bounded set): nprobe nearest cells via sorted (-sim, cid)
     // — FLAT over all K cells in both regimes (O(|Q|·K) is cheap; flat
     // probing keeps query recall independent of super-cell boundaries)
-    val probes = e.where($"vec_id" < 50).crossJoin(broadcast(cr))
+    val probes = e.where($"vec_id" < 50)
+      .withColumn("en", expr(normStr("embedding")))
+      .crossJoin(broadcast(cr))
       .select($"vec_id".as("query_id"), explode(expr(
-        s"transform(slice(array_sort(transform(cents, ct -> named_struct('ns', -${cosineStr("embedding", "ct.cv")}, 'c', ct.cid))), 1, $AnnIvfProbe), p -> p.c)"))
+        s"transform(slice(array_sort(transform(cents, ct -> named_struct('ns', -${simStr("embedding", "ct.cv", "en", "ct.cn")}, 'c', ct.cid))), 1, $AnnIvfProbe), p -> p.c)"))
         .as("cell"))
     probes.join(assign, Seq("cell"))
       .where($"query_id" =!= $"neighbor_id")
@@ -543,9 +611,11 @@ object VectorOps {
     val w = Window.partitionBy($"query_id")
       .orderBy($"sim".desc, $"neighbor_id".asc)
     annIvfCandidates(spark, dir, kCap)
-      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qe")), Seq("query_id"))
-      .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("ce")), Seq("neighbor_id"))
-      .withColumn("sim", cosine("qe", "ce"))
+      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        expr(normStr("embedding")).as("qn")), Seq("query_id"))
+      .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("ce"),
+        expr(normStr("embedding")).as("cn")), Seq("neighbor_id"))
+      .withColumn("sim", expr(simStr("qe", "ce", "qn", "cn")))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= 3)
       .select($"query_id", $"neighbor_id", $"sim", $"rank")
