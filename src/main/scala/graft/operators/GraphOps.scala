@@ -6,15 +6,28 @@ import org.apache.spark.sql.functions._
 /** Distributed graph primitives shared by the dedup operators. */
 object GraphOps {
 
+  /** persist() only when the identical plan is not already cached: these
+    * query builders run repeatedly in one session (bench passes, the pair
+    * query next to its clusters variant), and a second persist() of the
+    * same plan spams "CacheManager: Asked to cache already cached data"
+    * warnings. The cache entry is reused either way — this keeps the logs
+    * honest without changing what is cached.
+    */
+  private[operators] def persistOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+
   /** Hash-min connected components over an undirected pair list (two
     * columns of any orderable id type — long doc/vec ids, string URLs).
     * Returns one row per node with `lbl` = min node id in its component.
     *
     * Scale shape: iterative hash-min label propagation — per iteration one
     * equi-join of the edge list against the current labels plus a min
-    * aggregate, all on 8-byte longs; edges are persisted once and reused,
-    * labels are `localCheckpoint`ed so the plan never accretes lineage
-    * across iterations. Converges in O(component diameter) iterations —
+    * aggregate, all on 8-byte longs; edges are materialized once (lazy
+    * localCheckpoint) and reused, labels are `localCheckpoint`ed so the
+    * plan never accretes lineage across iterations. Converges in
+    * O(component diameter) iterations —
     * tiny in practice because near-dup components are dense blobs of mutual
     * near-dups, not long chains; a corpus with adversarial chain-shaped
     * components would swap this loop for the two-phase large-star/small-star
@@ -28,10 +41,24 @@ object GraphOps {
     val s = pairs.sparkSession
     import s.implicits._
     val Seq(a, b) = pairs.columns.toSeq
-    val edges = pairs
-      .union(pairs.select(col(b), col(a)))
+    // Materialize the VERIFIED PAIR GRAPH once (lazy localCheckpoint),
+    // BEFORE the direction-doubling union: the union's two branches are
+    // separate subtrees, so an unmaterialized pairs plan would run the
+    // whole candidate+verify pipeline twice. NOT persist(): a persist()
+    // here wraps the pair pipeline (itself an adaptive plan) in an
+    // InMemoryRelation whose early consumers re-executed the pipeline
+    // instead of reading cached batches — measured at sf0.1,
+    // img_phash_clusters burned 26-39 s task-CPU with ~8-17 s inside the
+    // first propagate stage alone; with checkpointed RDD blocks the same
+    // query is ~5 s CPU. Edges stay a cheap projection over the
+    // checkpointed 16-byte rows; blocks are reclaimed by the
+    // ContextCleaner once the RDD is unreferenced (same reclamation story
+    // as phashNearDup's `hashes`).
+    val p0 = pairs.localCheckpoint(false)
+    val edges = p0
+      .union(p0.select(col(b), col(a)))
       .toDF("src", "dst")
-      .persist()
+    s.sparkContext.setJobDescription("cc: init labels (materialize edges)")
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
       .localCheckpoint()
@@ -45,16 +72,23 @@ object GraphOps {
         .groupBy($"src")
         .agg(min($"nlbl").as("nmin"))
         .select($"src".as("node"), $"nmin")
+      // the checkpointed pass carries BOTH the updated label and a changed
+      // flag (nmin < lbl ⇔ the old "next.lbl < old.lbl" test), so
+      // convergence detection is a limit-1 scan of the already-materialized
+      // checkpoint blocks instead of a join + full recompute per round —
+      // one fewer shuffle job per iteration across all three clustering
+      // queries (guide §2.4: remove shuffles outright)
+      s.sparkContext.setJobDescription(s"cc: iter $iter propagate")
       val next = labels.join(nbrMin, Seq("node"), "left")
-        .select($"node", least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"))
+        .select($"node", least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"),
+          (coalesce($"nmin", $"lbl") < $"lbl").as("chg"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .where(col("n.lbl") < col("o.lbl")).limit(1).count()
-      converged = changed == 0L
-      labels = next
+      s.sparkContext.setJobDescription(s"cc: iter $iter converge check")
+      converged = next.where($"chg").limit(1).count() == 0L
+      labels = next.select($"node", $"lbl")
       iter += 1
     }
-    edges.unpersist(blocking = false) // final plan reads only checkpointed labels
+    s.sparkContext.setJobDescription(null)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint in $maxIters rounds — component " +

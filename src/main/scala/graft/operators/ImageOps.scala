@@ -44,6 +44,22 @@ object ImageOps {
     catch { case _: Exception => 0L }
   }
 
+  /** Real decode + perceptual hash in ONE pass: binary → (w, h, ok, phash).
+    * crawl_smoke, curate_images and video_frames previously ran
+    * [[decodeDims]] and [[phashOfBytes]] side by side — each a full ImageIO
+    * decode of the same payload, so every frame/image was decoded twice.
+    * One decode feeds both outputs here, with the exact composite of the
+    * two UDFs' results on every input: undecodable bytes yield
+    * (0, 0, false, 0L) — decodeDims' (0,0,false) next to phash64's 0L.
+    */
+  val decodePhash = udf { (bytes: Array[Byte]) =>
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) (0, 0, false, 0L)
+      else (img.getWidth, img.getHeight, true, SynthCorpus.phashOf(img))
+    } catch { case _: Exception => (0, 0, false, 0L) }
+  }
+
   /** Real resize: decode (ImageIO) → bilinear resample (java.awt
     * Graphics2D) into tw×th RGB → PNG re-encode. Deterministic per
     * (bytes, tw, th), so outputs are parallelism-independent. Returns
@@ -245,13 +261,12 @@ object ImageOps {
     val res = CrawlEngine.run(spark, spec, spec.defaultSeeds(2), cfg, out)
     materializeAndClean(
       res.fetched(spark)
-        .withColumn("dec", decodeDims($"bytes"))
-        .withColumn("phash2", phashOfBytes($"bytes"))
+        .withColumn("dec", decodePhash($"bytes")) // one decode: dims + phash
         .withColumn("rz", resizeImage($"bytes", lit(8), lit(8)))
         .withColumn("rdec", decodeDims($"rz._1"))
         .select($"image_id", $"fmt", $"w", $"h", $"phash", $"seed_id", $"depth",
           ($"dec._3" && $"dec._1" === $"w" && $"dec._2" === $"h").as("decode_ok"),
-          ($"phash2" === $"phash").as("phash_ok"),
+          ($"dec._4" === $"phash").as("phash_ok"),
           ($"rz._2" && $"rdec._1" === 8 && $"rdec._2" === 8).as("resize_ok"))
         .orderBy($"image_id"),
       out)
@@ -322,11 +337,10 @@ object ImageOps {
     val newestWin = org.apache.spark.sql.expressions.Window
       .partitionBy($"image_id").orderBy($"round".desc)
     val survivors = res.fetched(spark)
-      .withColumn("dec", decodeDims($"bytes"))
-      .withColumn("phash2", phashOfBytes($"bytes"))
+      .withColumn("dec", decodePhash($"bytes")) // one decode: dims + phash
       .select($"image_id", $"w", $"h", $"phash", $"priority", $"round",
         ($"dec._3" && $"dec._1" === $"w" && $"dec._2" === $"h" &&
-          $"phash2" === $"phash").as("decode_ok"))
+          $"dec._4" === $"phash").as("decode_ok"))
       .withColumn("rn", row_number().over(newestWin)).where($"rn" === 1)
       .where($"decode_ok")
       .where($"w" >= CurateMinEdge && $"h" >= CurateMinEdge &&

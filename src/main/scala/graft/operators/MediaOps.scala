@@ -280,12 +280,15 @@ object MediaOps {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", explode(sampledUdf(videoOf($"doc_id"), lit(2))).as("fr"))
+      // ONE decode per sampled frame (ImageOps.decodePhash) where the
+      // previous plan ran decodeDims AND phashOfBytes side by side — two
+      // full PNG decodes per frame for identical outputs
       .select($"doc_id", $"fr._2".as("frame_idx"),
-        ImageOps.decodeDims($"fr._4").as("dec"),
-        $"fr._1".as("n_frames"),
-        (ImageOps.phashOfBytes($"fr._4") === $"fr._3").as("phash_ok"))
+        ImageOps.decodePhash($"fr._4").as("dec"),
+        $"fr._1".as("n_frames"), $"fr._3".as("sph"))
       .select($"doc_id", $"frame_idx", $"dec._1".as("w"), $"dec._2".as("h"),
-        $"n_frames", $"dec._3".as("decode_ok"), $"phash_ok")
+        $"n_frames", $"dec._3".as("decode_ok"),
+        ($"dec._4" === $"sph").as("phash_ok"))
       .orderBy($"doc_id", $"frame_idx")
   }
 

@@ -125,8 +125,9 @@ object TextOps {
     import s.implicits._
     // sh is consumed 3x (signature build + both sides of the verify join)
     // and bands 2x (candidate self-join): persist so the shingle build runs
-    // once, not four times
-    val sh = shingles(dir).persist()
+    // once, not four times (persistOnce: a repeated invocation in the same
+    // session reuses the cache entry without the CacheManager warning)
+    val sh = GraphOps.persistOnce(shingles(dir))
     // The whole 8-minhash signature folds per doc as array_min over the
     // hashed shingle array — a narrow projection (no explode row inflation,
     // no groupBy), same zero-shuffle shape as the SimHash signature.
@@ -135,9 +136,8 @@ object TextOps {
     val mh = sh.select(($"doc_id" +: minCols): _*)
     val bandCols = (0 until 4).map(b =>
       xxhash64(lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as(s"b$b"))
-    val bands = mh
-      .select($"doc_id", explode(array(bandCols: _*)).as("bh"))
-      .persist()
+    val bands = GraphOps.persistOnce(mh
+      .select($"doc_id", explode(array(bandCols: _*)).as("bh")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

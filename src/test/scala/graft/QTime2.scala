@@ -22,13 +22,37 @@ object QTime2 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cpuNs = new AtomicLong(0)
+    val stageCpu = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val wantStages = sys.env.contains("QTIME2_STAGES")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
-          if (m != null) cpuNs.addAndGet(m.executorCpuTime): Unit
+          if (m != null) {
+            cpuNs.addAndGet(m.executorCpuTime): Unit
+            if (wantStages)
+              stageCpu.computeIfAbsent(te.stageId, _ => new AtomicLong(0))
+                .addAndGet(m.executorCpuTime): Unit
+          }
         }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (wantStages)
+            stageName.merge(sc.stageInfo.stageId,
+              sc.stageInfo.name.takeWhile(_ != '\n').take(120),
+              (a, b) => a + " " + b): Unit
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (wantStages) {
+            val desc = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse("")
+            js.stageIds.foreach(sid =>
+              stageName.merge(sid, s"[job ${js.jobId} $desc] ",
+                (a, b) => b + a): Unit)
+          }
       })
     try {
       SparkEntry.queries("q_topk")(spark, dir).count(): Unit // session warmup
@@ -45,6 +69,15 @@ object QTime2 {
           minWall = math.min(minWall, wall)
           minCpu = math.min(minCpu, cpu)
           println(f"[qtime2] $q pass$pass: wall $wall%.2f s cpu $cpu%.2f s ($n rows)")
+          if (wantStages) {
+            import scala.jdk.CollectionConverters._
+            stageCpu.asScala.toSeq.sortBy(-_._2.get).take(16).foreach {
+              case (sid, ns) => println(
+                f"[qtime2]   stage $sid%4d cpu ${ns.get / 1e9}%7.2fs  " +
+                  stageName.getOrDefault(sid, "?"))
+            }
+            stageCpu.clear(); stageName.clear()
+          }
         }
         println(f"[qtime2] $q MIN: wall $minWall%.2f s cpu $minCpu%.2f s")
       }
