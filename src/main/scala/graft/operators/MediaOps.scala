@@ -278,7 +278,20 @@ object MediaOps {
     */
   def videoFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    // Parallelism floor (guide §2.5 "input skew: one huge unsplittable
+    // file → repartition immediately after the read"): this operator is
+    // GENERATOR/DECODE-bound — milliseconds of codec work per row — so its
+    // parallelism must not be capped by the SCAN's split count (a single
+    // small parquet file = one task doing every synth+decode while the
+    // other cores idle; measured wall ≈ cpu ≈ 2.9 s at sf0.1/32c). The
+    // repartition shuffles only the 8-byte doc_id column, bounded by
+    // corpus row count, and is skipped when the scan already yields
+    // enough splits (any real-scale input).
+    val base = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id")
+    val floor = spark.sparkContext.defaultParallelism
+    val src =
+      if (base.rdd.getNumPartitions < floor) base.repartition(floor) else base
+    src
       .select($"doc_id", explode(sampledUdf(videoOf($"doc_id"), lit(2))).as("fr"))
       // ONE decode per sampled frame (ImageOps.decodePhash) where the
       // previous plan ran decodeDims AND phashOfBytes side by side — two
