@@ -287,10 +287,8 @@ object MediaOps {
     // repartition shuffles only the 8-byte doc_id column, bounded by
     // corpus row count, and is skipped when the scan already yields
     // enough splits (any real-scale input).
-    val base = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id")
-    val floor = spark.sparkContext.defaultParallelism
-    val src =
-      if (base.rdd.getNumPartitions < floor) base.repartition(floor) else base
+    val src = ScanOps.parallelismFloor(
+      spark.read.parquet(s"$dir/documents.parquet").select($"doc_id"))
     src
       .select($"doc_id", explode(sampledUdf(videoOf($"doc_id"), lit(2))).as("fr"))
       // ONE decode per sampled frame (ImageOps.decodePhash) where the
