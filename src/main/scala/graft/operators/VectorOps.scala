@@ -493,15 +493,21 @@ object VectorOps {
     // structs carry 'cn' = sqrt(norm2(cv)) precomputed ONCE per centroid:
     // every downstream assignment/probe cosine then pays one unrolled dot
     // instead of three 64-element folds (array_sort still orders by the
-    // leading unique cid, so the centroid order is unchanged)
+    // leading unique cid, so the centroid order is unchanged). The norm is
+    // computed only for SAMPLED rows (inside the when) and, for the
+    // fallback row, once in the degenerate CASE arm — never per corpus row
+    // (collect_list/min_by force ObjectHashAggregate, which does not
+    // codegen, so a per-row norm chain here would run interpreted N times)
     e.agg(
         array_sort(collect_list(when(expr(ivfHashSpark) % step === 0,
           struct(col("vec_id").as("cid"), col("embedding").as("cv"),
             expr(normStr("embedding")).as("cn")))))
           .as("cents0"),
-        min_by(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
-          expr(normStr("embedding")).as("cn")), col("vec_id")).as("fb"))
-      .select(expr("CASE WHEN size(cents0) = 0 THEN array(fb) " +
+        min_by(struct(col("vec_id").as("cid"), col("embedding").as("cv")),
+          col("vec_id")).as("fb"))
+      .select(expr("CASE WHEN size(cents0) = 0 THEN " +
+        "array(named_struct('cid', fb.cid, 'cv', fb.cv, " +
+        s"'cn', ${normStr("fb.cv")})) " +
         "ELSE cents0 END").as("cents"))
   }
 
@@ -528,7 +534,8 @@ object VectorOps {
     // compose. The SQL twin applies the same rules.
     // both levels carry precomputed sqrt-norms ('cn'/'sn') so the K·K1
     // cell→super assignment inside the row and every downstream cosine
-    // pay one dot each (see ivfCentsRow)
+    // pay one dot each; norms only for sampled/fallback rows, never per
+    // corpus row (see ivfCentsRow)
     e.agg(
         array_sort(collect_list(when(expr(ivfHashSpark) % step === 0,
           struct(col("vec_id").as("cid"), col("embedding").as("cv"),
@@ -538,9 +545,11 @@ object VectorOps {
           struct(col("vec_id").as("sid"), col("embedding").as("sv"),
             expr(normStr("embedding")).as("sn")))))
           .as("supers0"),
-        min_by(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
-          expr(normStr("embedding")).as("cn")), col("vec_id")).as("fb"))
-      .select(expr("CASE WHEN size(cents00) = 0 THEN array(fb) " +
+        min_by(struct(col("vec_id").as("cid"), col("embedding").as("cv")),
+          col("vec_id")).as("fb"))
+      .select(expr("CASE WHEN size(cents00) = 0 THEN " +
+        "array(named_struct('cid', fb.cid, 'cv', fb.cv, " +
+        s"'cn', ${normStr("fb.cv")})) " +
         "ELSE cents00 END").as("cents0"), col("supers0"))
       .select(expr(
         "CASE WHEN size(supers0) = 0 THEN transform(cents0, " +
