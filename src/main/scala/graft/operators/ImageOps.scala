@@ -149,6 +149,23 @@ object ImageOps {
       phashCol: String,
       maxDist: Int = 3,
       bucketCap: Int = 4096): DataFrame = {
+    import df.sparkSession.implicits._
+    phashNearDupPairs(df, idCol, phashCol, maxDist, bucketCap)
+      .orderBy($"img_a", $"img_b")
+  }
+
+  /** Verified pairs of [[phashNearDup]], UNORDERED — the edge-list form
+    * [[imgPhashClusters]] and the curation funnel consume (the pair
+    * query's global sort would only add a range-sampling job + sort to
+    * the checkpointed graph; same split as TextOps.lshPairs /
+    * VectorOps.nearDupPairs).
+    */
+  private[operators] def phashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      phashCol: String,
+      maxDist: Int = 3,
+      bucketCap: Int = 4096): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole covers hamming <= 3")
     val spark = df.sparkSession
     import spark.implicits._
@@ -182,7 +199,6 @@ object ImageOps {
       .withColumn("hamming", expr("bit_count(pa ^ pb)"))
       .where($"hamming" <= maxDist)
       .select($"img_a", $"img_b", $"hamming")
-      .orderBy($"img_a", $"img_b")
   }
 
   /** Oracled twin of [[phashNearDup]] (the r3 verdict graded the phash
@@ -202,13 +218,17 @@ object ImageOps {
     * The oracle is the O(N²) brute-force pair join — trivially correct at
     * oracle scale, exactly what the lossless candidate stage must equal.
     */
-  def imgPhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+  /** The deterministic doc_id-derived phash relation the two oracled image
+    * queries share (see [[imgPhashNearDup]] for the arithmetic rationale).
+    */
+  private def imgPhashSynth(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id",
         "((doc_id div 7) % 1000000) * 8796093025688L + (doc_id % 7) AS ph")
-    phashNearDup(docs, "doc_id", "ph").selectExpr(
+
+  def imgPhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    phashNearDup(imgPhashSynth(spark, dir), "doc_id", "ph").selectExpr(
       "img_a", "img_b", "cast(hamming AS int) AS hamming")
-  }
 
   /** Shared DuckDB CTE chain ending in the verified `ip` (image pairs)
     * relation — reused verbatim by the pair query and the cluster query so
@@ -237,7 +257,8 @@ object ImageOps {
   def imgPhashClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GraphOps.canonicalClusters(
-      imgPhashNearDup(spark, dir).select($"img_a", $"img_b"), "img_id")
+      phashNearDupPairs(imgPhashSynth(spark, dir), "doc_id", "ph")
+        .select($"img_a", $"img_b"), "img_id")
   }
 
   /** DuckDB twin: the SAME pair CTEs through the shared component
@@ -353,7 +374,7 @@ object ImageOps {
       // are already projected away, so the pinned set is ~50 B/row
       .localCheckpoint(false)
     val labels = GraphOps.connectedComponents(
-      phashNearDup(survivors, "image_id", "phash", maxDist = 3)
+      phashNearDupPairs(survivors, "image_id", "phash", maxDist = 3)
         .select($"img_a", $"img_b"))
       .withColumnRenamed("node", "image_id")
     val canonical = survivors.join(labels, Seq("image_id"), "left")

@@ -233,7 +233,13 @@ object VectorOps {
       .distinct()
   }
 
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** Verified near-dup pairs, UNORDERED — shared by [[embedNearDup]]
+    * (which just sorts it) and [[embedNearDupClusters]] (which consumes it
+    * as an edge list, where the pair query's global sort would only add a
+    * range-sampling job + sort to the checkpointed graph — the same
+    * split TextOps.lshPairs already uses).
+    */
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
     val e = emb(dir)
@@ -245,7 +251,11 @@ object VectorOps {
       .withColumn("sim", expr(simStr("ea", "eb", "na", "nb")))
       .where($"sim" >= NearDupThreshold)
       .select($"vec_a", $"vec_b", $"sim")
-      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    nearDupPairs(spark, dir).orderBy($"vec_a", $"vec_b")
   }
 
   /** Shared DuckDB CTE chain ending in the verified `vp` (vector pairs)
@@ -293,7 +303,7 @@ object VectorOps {
     implicit val s: SparkSession = spark
     import spark.implicits._
     GraphOps.canonicalClusters(
-      embedNearDup(spark, dir).select($"vec_a", $"vec_b"), "vec_id")
+      nearDupPairs(spark, dir).select($"vec_a", $"vec_b"), "vec_id")
   }
 
   /** DuckDB twin: the SAME pair CTEs through the shared component
